@@ -1,38 +1,283 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Implementation lives in ``prom_tsdb_copyer_spark``; each query cites the
+SURVEY.md §2 operator(s) it exercises. The driver's `events` table is the
+time-series stand-in for transcripts (user_id <-> conv_id, event_type <->
+role -- FIXTURES.md §2); `documents`/`embeddings` back the training-data
+pipeline operators (dedup / similarity / text analysis).
+
+Column-name and rounding discipline: every aggregate is aliased
+identically on both sides, float aggregates that accumulate (sum/avg/
+cosine) are rounded to a fixed number of decimals on both sides so
+summation-order ULP noise cannot flip the value hash; counts, min/max,
+first/last (selection, not accumulation) are exact.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prom_tsdb_copyer_spark.matchers import matchers_predicate
+from prom_tsdb_copyer_spark.operators.gapfill import gapfill_locf
+from prom_tsdb_copyer_spark.operators.rollup import reaggregate, rollup
+from prom_tsdb_copyer_spark.operators.windows import (
+    DAY_MS,
+    HOUR_MS,
+    MINUTE_MS,
+    get_query_range,
+)
+from prom_tsdb_copyer_spark.sources.tables import load_table, time_extent
+
+SERIES = ["user_id", "event_type"]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _event_labels() -> dict:
+    """Label mapping for matcher predicates over the events table
+    (SURVEY.md §2.2; user_id/event_type are the series labels)."""
+    return {
+        "__name__": F.lit("events"),
+        "user_id": F.col("user_id").cast("string"),
+        "event_type": F.col("event_type"),
+    }
+
+
+def _round_sums(df: DataFrame) -> DataFrame:
+    return df.withColumn("sum_val", F.round(F.col("sum_val"), 3))
+
+
+_ROLLUP_AGG_SQL = """
+       count(value) AS cnt,
+       round(sum(value), 3) AS sum_val,
+       min(value) AS min_val,
+       max(value) AS max_val,
+       arg_min(value, epoch_us(ts)) AS first_val,
+       arg_max(value, epoch_us(ts)) AS last_val,
+       min(epoch_us(ts)) AS first_ord,
+       max(epoch_us(ts)) AS last_ord
+"""
+
+
+def _rollup_sql(tier_ms: int, where: str = "") -> str:
+    return f"""
+    SELECT user_id, event_type,
+           (epoch_ms(ts) // {tier_ms}) * {tier_ms} AS bucket_ms,
+           {_ROLLUP_AGG_SQL}
+    FROM events {where}
+    GROUP BY 1, 2, 3
+    """
+
+
+# ---------------------------------------------------------------- queries
+
+def q_tier_rollup_1m(spark, sf_dir):
+    """A1+A6: the core shuffle -- groupBy(series, 1m epoch bucket)."""
+    return _round_sums(rollup(_events(spark, sf_dir), SERIES, "value", "1m"))
+
+
+def q_tier_rollup_1h(spark, sf_dir):
+    """A6 cascade: 1h tier computed as exact reagg of the 1m tier."""
+    t1m = rollup(_events(spark, sf_dir), SERIES, "value", "1m")
+    return _round_sums(reaggregate(t1m, SERIES, "1h"))
+
+
+def q_tier_rollup_1d(spark, sf_dir):
+    """A6 cascade: 1d from 1h from 1m (path-independence tested in pytest)."""
+    t1m = rollup(_events(spark, sf_dir), SERIES, "value", "1m")
+    return _round_sums(reaggregate(reaggregate(t1m, SERIES, "1h"), SERIES, "1d"))
+
+
+def _matcher_query(matchers):
+    def q(spark, sf_dir):
+        df = _events(spark, sf_dir).where(
+            matchers_predicate(matchers, _event_labels())
+        )
+        return _round_sums(rollup(df, SERIES, "value", "1h"))
+
+    return q
+
+
+def q_flagship_copy(spark, sf_dir):
+    """Entry point 2 (SURVEY.md §3): time filter + matcher + 1m rollup --
+    the reference's scan->filter->group->encode pipeline, minus the codec
+    (see gorilla_roundtrip for the codec leg)."""
+    from prom_tsdb_copyer_spark.operators.windows import in_time_range
+
+    from_ms, to_ms = 1704067200000, 1704672000000 - 1  # first week of 2024
+    df = _events(spark, sf_dir).where(in_time_range(F.col("ts"), from_ms, to_ms))
+    df = df.where(matchers_predicate(["event_type!~(er).*"], _event_labels()))
+    return _round_sums(rollup(df, SERIES, "value", "1m"))
+
+
+def q_relabel_append(spark, sf_dir):
+    """F11: label upsert before grouping changes series identity -- all
+    event_types collapse into one relabeled series per user."""
+    df = _events(spark, sf_dir).withColumn("event_type", F.lit("all"))
+    return _round_sums(rollup(df, SERIES, "value", "1d"))
+
+
+def q_time_extent(spark, sf_dir):
+    """S2: min/max fold over the source (getTimeRangeFromTSDB analog)."""
+    lo, hi = time_extent(_events(spark, sf_dir))
+    return spark.createDataFrame([(lo, hi)], "min_ms long, max_ms long")
+
+
+def q_query_range_windows(spark, sf_dir):
+    """W1: epoch-aligned 1d windows covering the source extent, inclusive
+    ms ends, clamped (copyer.go:36-56 semantics)."""
+    lo, hi = time_extent(_events(spark, sf_dir))
+    wins = get_query_range(lo, hi, DAY_MS)
+    return spark.createDataFrame(
+        [(w.start_ms, w.end_ms) for w in wins], "start_ms long, end_ms long"
+    )
+
+
+def q_gapfill_locf_1h(spark, sf_dir):
+    """W4: dense per-series 1h calendar with LOCF fill, bounded to each
+    series' observed extent."""
+    tier = rollup(_events(spark, sf_dir), SERIES, "value", "1h")
+    filled = gapfill_locf(tier, SERIES, "1h", fill_cols=("last_val",))
+    return filled.select(
+        *SERIES, "bucket_ms", "is_filled", "last_val_filled"
+    )
+
+
+def q_topk_series(spark, sf_dir):
+    """§2.6 extension: deterministic top-10 series by sample count
+    (tie-broken on the series key)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(*SERIES)
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "user_id", "event_type")
+        .limit(10)
+    )
+
+
+def q_agg_q1(spark, sf_dir):
+    """Generic OLAP agg (TPC-H Q1 shape) -- demonstrates the engine's
+    group-agg surface beyond the time-series core."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 3).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 3).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMOKE", "/root/testdata/sf0.001")
+    return q_tier_rollup_1h(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tier_rollup_1m": q_tier_rollup_1m,
+        "tier_rollup_1h": q_tier_rollup_1h,
+        "tier_rollup_1d": q_tier_rollup_1d,
+        "matcher_eq": _matcher_query(["event_type=click"]),
+        "matcher_neq": _matcher_query(["event_type!=error"]),
+        "matcher_re": _matcher_query(["event_type=~(cl|si).*"]),
+        "matcher_nre": _matcher_query(["event_type!~.*(ck|up)"]),
+        "matcher_conj": _matcher_query(["event_type=~(cl|vi).*", "user_id!~1.*"]),
+        "flagship_copy": q_flagship_copy,
+        "relabel_append": q_relabel_append,
+        "time_extent": q_time_extent,
+        "query_range_windows": q_query_range_windows,
+        "gapfill_locf_1h": q_gapfill_locf_1h,
+        "topk_series": q_topk_series,
+        "agg_q1": q_agg_q1,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tier_rollup_1m": _rollup_sql(MINUTE_MS),
+        "tier_rollup_1h": _rollup_sql(HOUR_MS),
+        "tier_rollup_1d": _rollup_sql(DAY_MS),
+        "matcher_eq": _rollup_sql(HOUR_MS, "WHERE event_type = 'click'"),
+        "matcher_neq": _rollup_sql(HOUR_MS, "WHERE event_type != 'error'"),
+        "matcher_re": _rollup_sql(
+            HOUR_MS, "WHERE regexp_full_match(event_type, '(?:(cl|si).*)')"
+        ),
+        "matcher_nre": _rollup_sql(
+            HOUR_MS, "WHERE NOT regexp_full_match(event_type, '(?:.*(ck|up))')"
+        ),
+        "matcher_conj": _rollup_sql(
+            HOUR_MS,
+            "WHERE regexp_full_match(event_type, '(?:(cl|vi).*)') "
+            "AND NOT regexp_full_match(CAST(user_id AS VARCHAR), '(?:1.*)')",
+        ),
+        "flagship_copy": _rollup_sql(
+            MINUTE_MS,
+            "WHERE epoch_ms(ts) BETWEEN 1704067200000 AND 1704671999999 "
+            "AND NOT regexp_full_match(event_type, '(?:(er).*)')",
+        ),
+        "relabel_append": f"""
+            SELECT user_id, 'all' AS event_type,
+                   (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms,
+                   {_ROLLUP_AGG_SQL}
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "time_extent": "SELECT min(epoch_ms(ts)) AS min_ms, max(epoch_ms(ts)) AS max_ms FROM events",
+        "query_range_windows": f"""
+            WITH ext AS (SELECT min(epoch_ms(ts)) f, max(epoch_ms(ts)) t FROM events),
+            cal AS (SELECT f, t, unnest(generate_series((f // {DAY_MS}) * {DAY_MS}, t, {DAY_MS})) AS g FROM ext)
+            SELECT greatest(g, f) AS start_ms, least(g + {DAY_MS} - 1, t) AS end_ms FROM cal
+        """,
+        "gapfill_locf_1h": f"""
+            WITH tier AS (
+              SELECT user_id, event_type,
+                     (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS bucket_ms,
+                     arg_max(value, epoch_us(ts)) AS last_val
+              FROM events GROUP BY 1, 2, 3),
+            bounds AS (SELECT user_id, event_type, min(bucket_ms) lo, max(bucket_ms) hi
+                       FROM tier GROUP BY 1, 2),
+            cal AS (SELECT user_id, event_type,
+                           unnest(generate_series(lo, hi, {HOUR_MS})) AS bucket_ms
+                    FROM bounds),
+            dense AS (SELECT c.user_id, c.event_type, c.bucket_ms, t.last_val
+                      FROM cal c LEFT JOIN tier t USING (user_id, event_type, bucket_ms))
+            SELECT user_id, event_type, bucket_ms,
+                   (last_val IS NULL) AS is_filled,
+                   last_value(last_val IGNORE NULLS) OVER (
+                     PARTITION BY user_id, event_type ORDER BY bucket_ms
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_val_filled
+            FROM dense
+        """,
+        "topk_series": """
+            SELECT user_id, event_type, count(*) AS cnt FROM events
+            GROUP BY 1, 2 ORDER BY cnt DESC, user_id, event_type LIMIT 10
+        """,
+        "agg_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 3) AS sum_qty,
+                   round(sum(l_extendedprice), 3) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2
+        """,
+    }

@@ -1,0 +1,57 @@
+"""Gap-fill with last-observation-carried-forward (SURVEY.md §2.5 W4).
+
+Extension required by the north rule (absent in the reference, whose
+blocks simply omit empty ranges). Per series: materialize the calendar of
+tier buckets bounded to that series' own observed [min_bucket,
+max_bucket] (bounding is load-bearing at scale -- an unbounded 1m
+calendar over the full table extent would dwarf the data), left-join the
+observed tier points, then carry the last non-null observation forward
+with an ordered window. Leading holes stay null.
+
+All built-in ops: `sequence` + `explode` for the calendar, `F.last(...,
+ignorenulls=True)` over an unbounded-preceding window for the LOCF.
+Shuffle profile: one shuffle on (series, bucket) for the join, one on
+(series) for the window -- the second reuses the first's clustering in
+practice since (series, bucket) hash-clusters series together only
+per-key; at 100TB scale prefer `repartition(series)` once upfront.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .windows import TIER_MS
+
+
+def gapfill_locf(
+    tier_df: DataFrame,
+    series_cols: list[str],
+    tier: str | int,
+    fill_cols: tuple[str, ...] = ("last_val",),
+) -> DataFrame:
+    """Tier table -> dense per-series calendar with LOCF-filled values.
+
+    Output: series cols, bucket_ms, is_filled, and ``<c>_filled`` for each
+    requested fill column (original columns kept, null on gap rows).
+    """
+    tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
+    bounds = tier_df.groupBy(*series_cols).agg(
+        F.min("bucket_ms").alias("_lo"), F.max("bucket_ms").alias("_hi")
+    )
+    calendar = bounds.select(
+        *series_cols,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(tier_ms).cast("long"))
+        ).alias("bucket_ms"),
+    )
+    dense = calendar.join(tier_df, on=[*series_cols, "bucket_ms"], how="left")
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy("bucket_ms")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = dense.withColumn("is_filled", F.col(fill_cols[0]).isNull())
+    for c in fill_cols:
+        out = out.withColumn(f"{c}_filled", F.last(F.col(c), ignorenulls=True).over(w))
+    return out

@@ -1,0 +1,113 @@
+"""Tier rollups: the engine's core aggregation (SURVEY.md §2.4 A1/A6).
+
+The reference's core loop -- iterate series, consume that series' samples
+in time order, append to an output block (/root/reference/copyer.go:91-156)
+-- is in Spark exactly one hash-shuffled aggregation:
+
+    groupBy(series labels, epoch-aligned bucket).agg(...)
+
+Per (series, bucket) we keep the algebraic summary (count, sum, min, max,
+first, last + the first/last order keys), chosen so coarser tiers are
+*exact* re-aggregations of finer ones (1h = reagg(1m), 1d = reagg(1h)):
+partial->final aggregation, the Spark-native analog of TSDB leveled
+compaction producing coarser blocks. first/last are made deterministic
+with ``min_by``/``max_by`` on an int64 microsecond order key rather than
+relying on encounter order.
+
+Scale notes: the single groupBy is THE shuffle of the pipeline; map-side
+partial aggregation halves it, AQE coalesces the long tail, and hot
+series are handled upstream by salting (operators/skew.py). No global
+sort anywhere (the reference likewise iterates series unsorted,
+copyer.go:91 ``sortSeries=false``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .windows import TIER_MS, bucket_ms_col, unix_us
+
+#: canonical tier table columns appended to (series..., bucket_ms)
+AGG_COLS = ("cnt", "sum_val", "min_val", "max_val", "first_val", "last_val",
+            "first_ord", "last_ord")
+
+
+def _order_key(ts: Column) -> Column:
+    """int64 microsecond order key; unique per series in both the
+    transcripts fixture (strictly increasing ts per conversation,
+    FIXTURES.md §1) and the driver's events table (verified unique)."""
+    return unix_us(ts)
+
+
+def rollup(
+    df: DataFrame,
+    series_cols: list[str],
+    value_col: str,
+    tier: str | int,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Raw samples -> one tier table: (series..., bucket_ms, AGG_COLS).
+
+    ``tier`` is "1m"/"1h"/"1d" or a duration in ms.
+    """
+    tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
+    ord_key = _order_key(F.col(ts_col))
+    val = F.col(value_col)
+    return (
+        df.withColumn("bucket_ms", bucket_ms_col(F.col(ts_col), tier_ms))
+        .groupBy(*series_cols, "bucket_ms")
+        .agg(
+            F.count(val).alias("cnt"),
+            F.sum(val).alias("sum_val"),
+            F.min(val).alias("min_val"),
+            F.max(val).alias("max_val"),
+            F.min_by(val, ord_key).alias("first_val"),
+            F.max_by(val, ord_key).alias("last_val"),
+            F.min(ord_key).alias("first_ord"),
+            F.max(ord_key).alias("last_ord"),
+        )
+    )
+
+
+def reaggregate(tier_df: DataFrame, series_cols: list[str], tier: str | int) -> DataFrame:
+    """Exact partial->final re-aggregation of a finer tier into a coarser
+    one. All aggregates are algebraic, so this is lossless: count/sum add,
+    min/max fold, first/last select by the carried order keys.
+    """
+    tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
+    return (
+        tier_df.withColumn(
+            "bucket_ms", (F.floor(F.col("bucket_ms") / tier_ms) * tier_ms).cast("long")
+        )
+        .groupBy(*series_cols, "bucket_ms")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_val").alias("sum_val"),
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+            F.min_by("first_val", F.col("first_ord")).alias("first_val"),
+            F.max_by("last_val", F.col("last_ord")).alias("last_val"),
+            F.min("first_ord").alias("first_ord"),
+            F.max("last_ord").alias("last_ord"),
+        )
+    )
+
+
+def cascade(
+    df: DataFrame,
+    series_cols: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+    tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+) -> dict[str, DataFrame]:
+    """Raw -> finest tier, then each coarser tier from the previous one
+    (never re-reading raw data -- the continuous-aggregate cascade)."""
+    out: dict[str, DataFrame] = {}
+    finest = tiers[0]
+    out[finest] = rollup(df, series_cols, value_col, finest, ts_col)
+    prev = out[finest]
+    for tier in tiers[1:]:
+        prev = reaggregate(prev, series_cols, tier)
+        out[tier] = prev
+    return out

@@ -1,0 +1,87 @@
+"""The flagship pipeline: the reference's per-slice copy re-expressed as
+one declarative DataFrame chain (SURVEY.md §3 entry point 2).
+
+Reference pipeline (/root/reference/copyer.go:58-171):
+    scan -> time filter -> label-matcher filter -> relabel ->
+    group by series -> ordered encode -> partitioned write
+
+Spark chain (Catalyst plans it; the reference's nested block/slice window
+loops become partitioning metadata, not control flow):
+    read.parquet -> where(ts BETWEEN) -> where(matchers) ->
+    withColumn(appends) -> groupBy(series, bucket).agg(...) ->
+    [cascade 1h/1d] -> write partitioned by day
+
+Key divergence-by-design: the reference copies samples at full resolution
+and re-blocks; the north rule asks for retention *tiers*, so the group-by
+produces rolled-up points (plus, optionally, the Gorilla-compressed chunk
+column of the raw points per series+bucket -- functions/gorilla.py).
+Slicing granularity (--query-duration) is invisible in results in the
+reference (compaction merges slices); here it is invisible because there
+are no slices -- a single shuffle replaces the goroutine fan-out, which
+is exactly why the block-equality invariant holds by construction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..matchers import matchers_predicate, transcript_labels
+from ..operators.relabel import label_append
+from ..operators.rollup import cascade
+from ..operators.windows import in_time_range
+
+TRANSCRIPT_SERIES = ["conv_id", "role", "tool"]
+
+
+@dataclass(frozen=True)
+class CopyJob:
+    """Mirrors the reference CLI surface (/root/reference/main.go:113-165).
+
+    from_ms/to_ms None -> discover from the source extent (S2), like the
+    omitted --from/--to (copyer.go:227-233). block/query durations are
+    retained as partition-planning hints, not control flow.
+    """
+
+    from_ms: int | None = None
+    to_ms: int | None = None
+    matchers: tuple[str, ...] = ()
+    label_append: tuple[str, ...] = ()  # "k=v" upserts (main.go:125)
+    tiers: tuple[str, ...] = ("1m", "1h", "1d")
+    metric_name: str = "turns"
+    series_cols: tuple[str, ...] = tuple(TRANSCRIPT_SERIES)
+    value_col: str = "value"
+    ts_col: str = "ts"
+    labels: dict | None = field(default=None, hash=False, compare=False)
+
+
+def filtered_samples(df: DataFrame, job: CopyJob) -> DataFrame:
+    """scan -> time filter (F10) -> matcher filter (F1-F9) -> relabel (F11)."""
+    if job.from_ms is not None and job.to_ms is not None:
+        df = df.where(in_time_range(F.col(job.ts_col), job.from_ms, job.to_ms))
+    labels = job.labels
+    if labels is None:
+        labels = transcript_labels(job.metric_name)
+        labels = {k: v for k, v in labels.items()
+                  if k == "__name__" or k in df.columns}
+    df = df.where(matchers_predicate(list(job.matchers) or None, labels))
+    if job.label_append:
+        from ..operators.relabel import parse_label_pairs
+
+        df = label_append(df, parse_label_pairs(list(job.label_append)))
+    return df
+
+
+def run_rollups(df: DataFrame, job: CopyJob) -> dict[str, DataFrame]:
+    """Full flagship chain -> {tier: tier DataFrame}."""
+    series = [c for c in job.series_cols if c in df.columns] + [
+        c for c in _appended_names(job) if c not in job.series_cols
+    ]
+    filtered = filtered_samples(df, job)
+    return cascade(filtered, series, job.value_col, job.ts_col, job.tiers)
+
+
+def _appended_names(job: CopyJob) -> list[str]:
+    return [p.split("=", 1)[0] for p in job.label_append]

@@ -1,0 +1,58 @@
+"""SparkSession builders tuned for this engine.
+
+Local mode is a stand-in for a multi-executor cluster: parallelism choices
+(`local[N]`, shuffle partition count) are the sandbox analog of executor
+count, which is how the N-vs-4N scaling criterion is evidenced
+(BASELINE.md). All sessions pin UTC so epoch-aligned window math matches
+the reference's UTC-epoch alignment (/root/reference/copyer.go:43) and the
+DuckDB oracle's naive-UTC timestamps.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "prom-tsdb-copyer-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a local SparkSession.
+
+    cores=None -> local[*]. Shuffle partitions default to the core count:
+    the right size for local mode (the stock 200 over-parallelizes small
+    data and under-parallelizes big data; at cluster scale this knob is
+    sized so one shuffle partition fits executor memory).
+    """
+    if cores is None:
+        cores_env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cores_env}]" if cores_env else "local[*]"
+        n = int(cores_env) if cores_env else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cores}]"
+        n = cores
+    if shuffle_partitions is None:
+        shuffle_partitions = max(n, 4)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,78 @@
+"""Sources & sinks: partitioned-parquet tables (SURVEY.md §2.1).
+
+The reference reads a TSDB directory read-only (S1, copyer.go:60) and
+writes immutable blocks (S4/S5, copyer.go:82,157-164). Our analog: read
+columnar parquet (Catalyst pushes time filters to row-group stats --
+Iceberg would add partition-level pruning; its runtime jar is not in this
+sandbox, so we keep the partition column explicit and write
+`partitionBy(part_day)`, which gives directory-level pruning the same
+way).
+
+Time-extent discovery (S2, copyer.go:202-222): the block-meta min/max
+fold becomes a min/max aggregate, answered from parquet footer statistics
+without a full scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DRIVER_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def events_as_samples(events: DataFrame) -> DataFrame:
+    """Map the driver's events table onto the sample model: series labels
+    (user_id, event_type) <-> (conv_id, role), sample time ts, value."""
+    return events.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_type").alias("role"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+        F.col("value"),
+    )
+
+
+def time_extent(df: DataFrame, ts_col: str = "ts") -> tuple[int, int]:
+    """(min_ms, max_ms) over the table -- the reference's
+    getTimeRangeFromTSDB fold (copyer.go:214-219). One aggregate; parquet
+    answers it from footer min/max stats. The reference adds +1ms slack by
+    treating the library's exclusive block MaxTime as inclusive -- we
+    return the true inclusive extent and document the divergence."""
+    from ..operators.windows import unix_ms
+
+    row = df.agg(
+        F.min(unix_ms(F.col(ts_col))).alias("lo"),
+        F.max(unix_ms(F.col(ts_col))).alias("hi"),
+    ).first()
+    if row is None or row["lo"] is None:
+        raise ValueError("empty table: no time extent")
+    return int(row["lo"]), int(row["hi"])
+
+
+def write_tier(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by_day: bool = True,
+) -> None:
+    """Tier sink: parquet partitioned by UTC day of the bucket (the
+    Iceberg `days(ts)` analog; block-duration default 24h in the
+    reference, main.go:122). Dynamic partition overwrite so re-running a
+    time range replaces exactly the affected partitions (the reference's
+    re-copy model)."""
+    writer = df.withColumn(
+        "part_day", F.to_date(F.timestamp_millis(F.col("bucket_ms")))
+    ).write.option("partitionOverwriteMode", "dynamic")
+    if partition_by_day:
+        writer = writer.partitionBy("part_day")
+    writer.mode(mode).parquet(path)

@@ -1,0 +1,26 @@
+from __future__ import annotations
+
+import pytest
+
+from prom_tsdb_copyer_spark.datagen import gen_transcripts_df
+from prom_tsdb_copyer_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", cores=4, shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def transcripts(spark):
+    """tiny scale (~50 convs) deterministic transcripts, cached."""
+    df = gen_transcripts_df(spark, n_convs=50, seed=42).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="session")
+def transcripts_pdf(transcripts):
+    return transcripts.toPandas()

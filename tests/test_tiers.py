@@ -1,0 +1,68 @@
+"""Tier rollup + cascade exactness (SURVEY.md §2.4 A6, §5 test_tiers).
+
+Invariants: 1h == reagg(1m) == direct-from-raw 1h; same for 1d; pandas
+oracle recompute for point values.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from prom_tsdb_copyer_spark.operators.rollup import cascade, reaggregate, rollup
+from prom_tsdb_copyer_spark.operators.windows import DAY_MS, HOUR_MS, MINUTE_MS
+
+SERIES = ["conv_id", "role", "tool"]
+KEY = SERIES + ["bucket_ms"]
+
+
+def _collect(df):
+    pdf = df.toPandas().sort_values(KEY).reset_index(drop=True)
+    return pdf.fillna({"tool": "<null>"})
+
+
+def _oracle(pdf: pd.DataFrame, tier_ms: int) -> pd.DataFrame:
+    p = pdf.copy()
+    p["tool"] = p["tool"].fillna("<null>")
+    p["ts_ms"] = p["ts"].astype("int64") // 10**6
+    p["bucket_ms"] = (p["ts_ms"] // tier_ms) * tier_ms
+    p["ord"] = p["ts"].astype("int64") // 10**3  # ns -> µs
+    g = p.sort_values("ord").groupby(KEY, dropna=False)
+    out = g.agg(
+        cnt=("value", "size"),
+        sum_val=("value", "sum"),
+        min_val=("value", "min"),
+        max_val=("value", "max"),
+        first_val=("value", "first"),
+        last_val=("value", "last"),
+        first_ord=("ord", "min"),
+        last_ord=("ord", "max"),
+    ).reset_index()
+    return out.sort_values(KEY).reset_index(drop=True)
+
+
+def test_rollup_1m_matches_oracle(spark, transcripts, transcripts_pdf):
+    got = _collect(rollup(transcripts, SERIES, "value", "1m"))
+    want = _oracle(transcripts_pdf, MINUTE_MS)
+    pd.testing.assert_frame_equal(
+        got.astype({"cnt": "int64"}), want.astype({"cnt": "int64"}), check_dtype=False
+    )
+
+
+def test_cascade_exactness(spark, transcripts, transcripts_pdf):
+    tiers = cascade(transcripts, SERIES, "value")
+    for tier, tier_ms in [("1h", HOUR_MS), ("1d", DAY_MS)]:
+        got = _collect(tiers[tier])
+        direct = _collect(rollup(transcripts, SERIES, "value", tier))
+        pd.testing.assert_frame_equal(got, direct, check_dtype=False)
+        want = _oracle(transcripts_pdf, tier_ms)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_reagg_path_independence(spark, transcripts):
+    """1d from 1m directly == 1d from 1h from 1m (associativity)."""
+    t1m = rollup(transcripts, SERIES, "value", "1m")
+    via_1h = reaggregate(reaggregate(t1m, SERIES, "1h"), SERIES, "1d")
+    direct = reaggregate(t1m, SERIES, "1d")
+    pd.testing.assert_frame_equal(
+        _collect(via_1h), _collect(direct), check_dtype=False
+    )

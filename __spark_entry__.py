@@ -154,6 +154,31 @@ def q_gapfill_locf_1h(spark, sf_dir):
     )
 
 
+def q_gorilla_roundtrip(spark, sf_dir):
+    """§2.10 codec: encode per (series, 1h bucket) via applyInPandas
+    (delta-of-delta + XOR, functions/gorilla.py), decode via mapInPandas;
+    the oracle is the raw point set -- so the comparison proves the codec
+    is lossless end-to-end through the real Spark plumbing."""
+    from prom_tsdb_copyer_spark.functions.gorilla import (
+        decode_tier_chunks,
+        encode_tier_chunks,
+    )
+
+    chunks = encode_tier_chunks(_events(spark, sf_dir), SERIES, "1h")
+    return decode_tier_chunks(chunks, SERIES)
+
+
+def q_chunk_stats(spark, sf_dir):
+    """§2.10 + S4/S5: chunk-table header stats (count/t_min/t_max per
+    series-bucket -- the block meta analog, copyer.go:209-219), checked
+    against a SQL recompute; the binary chunk column itself is covered by
+    gorilla_roundtrip."""
+    from prom_tsdb_copyer_spark.functions.gorilla import encode_tier_chunks
+
+    chunks = encode_tier_chunks(_events(spark, sf_dir), SERIES, "1h")
+    return chunks.select(*SERIES, "bucket_ms", "cnt", "t_min_ms", "t_max_ms")
+
+
 def q_topk_series(spark, sf_dir):
     """§2.6 extension: deterministic top-10 series by sample count
     (tie-broken on the series key)."""
@@ -206,6 +231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_extent": q_time_extent,
         "query_range_windows": q_query_range_windows,
         "gapfill_locf_1h": q_gapfill_locf_1h,
+        "gorilla_roundtrip": q_gorilla_roundtrip,
+        "chunk_stats": q_chunk_stats,
         "topk_series": q_topk_series,
         "agg_q1": q_agg_q1,
     }
@@ -265,6 +292,17 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id, event_type ORDER BY bucket_ms
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_val_filled
             FROM dense
+        """,
+        "gorilla_roundtrip": """
+            SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, value FROM events
+        """,
+        "chunk_stats": f"""
+            SELECT user_id, event_type,
+                   (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS bucket_ms,
+                   count(*) AS cnt,
+                   min(epoch_ms(ts)) AS t_min_ms,
+                   max(epoch_ms(ts)) AS t_max_ms
+            FROM events GROUP BY 1, 2, 3
         """,
         "topk_series": """
             SELECT user_id, event_type, count(*) AS cnt FROM events

@@ -1,0 +1,326 @@
+"""Gorilla-style chunk codec: delta-of-delta timestamps + XOR floats.
+
+Replaces the chunk machinery the reference exercises through the
+Prometheus library (append at /root/reference/copyer.go:116, decode
+iteration at copyer.go:89,108-135); algorithm per Pelkonen et al.,
+"Gorilla: A Fast, Scalable, In-Memory Time Series Database" (VLDB 2015)
+§4.1. Byte-parity with Go chunkenc is a non-goal (the reference's own
+parity bar is point values, SURVEY.md §2.8); this module defines a
+*canonical self-golden* encoding, pinned by golden-byte tests.
+
+Canonical chunk layout (little-endian header, MSB-first bitstreams):
+
+    u32  count
+    u32  ts_bits        -- bit length of the timestamp stream
+    i64  first_ts_ms
+    u64  first_val_bits
+    [ts bitstream][value bitstream]   (concatenated, byte-padded at end)
+    u32  crc32 of everything above
+
+Timestamp stream (samples 1..n-1): delta-of-delta with prev_delta
+starting at 0, bucketed control codes
+    '0'                      dod == 0
+    '10'    + 7  bits        dod in [-63, 64]       (stored dod+63)
+    '110'   + 9  bits        dod in [-255, 256]     (stored dod+255)
+    '1110'  + 12 bits        dod in [-2047, 2048]   (stored dod+2047)
+    '11110' + 32 bits        |dod| < 2^31           (stored dod+2^31-1)
+    '11111' + 64 bits        anything else          (two's complement)
+
+Value stream (samples 1..n-1): XOR with previous value
+    '0'                                  xor == 0
+    '1' + 6b leading + 6b (mlen-1) + mlen meaningful bits
+(always re-emitting the bit window rather than Gorilla's reuse-previous
+optimization -- a deliberate, documented simplification that makes the
+encoder fully vectorizable: all field widths derive from per-sample data
+with no sequential control dependence.)
+
+Vectorization strategy ("no per-row Python"): encode loops over BIT
+POSITIONS (<= 64 numpy ops per field class), never over samples; the
+bitstream is assembled with np.packbits. Decode walks the stream through
+a Python-bigint bit reader -- sequential by nature (field widths are
+data-dependent), used on the verify path; each step is O(1) after one
+int.from_bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_HEADER = struct.Struct("<IIqQ")
+
+# (lo, hi, prefix_bits, prefix_val, payload_bits); lo/hi inclusive dod range
+_DOD_CLASSES = (
+    (-63, 64, 2, 0b10, 7),
+    (-255, 256, 3, 0b110, 9),
+    (-2047, 2048, 4, 0b1110, 12),
+    (-(2**31) + 1, 2**31, 5, 0b11110, 32),
+)
+_DOD_WIDE = (5, 0b11111, 64)
+
+
+def _pack_bits(field_vals: np.ndarray, field_nbits: np.ndarray) -> np.ndarray:
+    """Scatter variable-width MSB-first fields into one bool bit array.
+
+    Loops over bit positions within a field (bounded by 64), vectorized
+    over all fields -- the 'vectorize across samples, iterate bit index'
+    assembler promised in SURVEY.md §7 item 4.
+    """
+    field_nbits = field_nbits.astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(field_nbits)[:-1]])
+    total = int(field_nbits.sum())
+    bits = np.zeros(total, dtype=bool)
+    max_n = int(field_nbits.max()) if len(field_nbits) else 0
+    for b in range(max_n):
+        mask = field_nbits > b
+        shift = (field_nbits[mask] - 1 - b).astype(np.uint64)
+        bits[offsets[mask] + b] = ((field_vals[mask] >> shift) & np.uint64(1)) != 0
+    return bits
+
+
+def _ts_fields(ts_ms: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-sample (control, payload) field pairs for samples 1..n-1."""
+    deltas = np.diff(ts_ms)
+    dod = np.diff(deltas, prepend=np.int64(0))  # prev_delta starts at 0
+    n = len(dod)
+    ctrl_val = np.zeros(n, dtype=np.uint64)
+    ctrl_bits = np.ones(n, dtype=np.int64)  # '0' for dod==0
+    pay_val = np.zeros(n, dtype=np.uint64)
+    pay_bits = np.zeros(n, dtype=np.int64)
+    remaining = dod != 0
+    for lo, hi, pbits, pval, wbits in _DOD_CLASSES:
+        m = remaining & (dod >= lo) & (dod <= hi)
+        ctrl_val[m], ctrl_bits[m] = pval, pbits
+        pay_val[m] = (dod[m] - lo).astype(np.uint64)
+        pay_bits[m] = wbits
+        remaining &= ~m
+    if remaining.any():
+        pbits, pval, wbits = _DOD_WIDE
+        ctrl_val[remaining], ctrl_bits[remaining] = pval, pbits
+        pay_val[remaining] = dod[remaining].astype(np.uint64)  # two's complement
+        pay_bits[remaining] = wbits
+    vals = np.stack([ctrl_val, pay_val], axis=1).ravel()
+    nbits = np.stack([ctrl_bits, pay_bits], axis=1).ravel()
+    return vals, nbits
+
+
+def _val_fields(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-sample (header, mantissa) field pairs for samples 1..n-1."""
+    bits64 = values.view(np.uint64)
+    xor = bits64[1:] ^ bits64[:-1]
+    n = len(xor)
+    nz = xor != 0
+    lz = np.zeros(n, dtype=np.int64)
+    tz = np.zeros(n, dtype=np.int64)
+    x = xor[nz]
+    # leading zeros of a uint64, vectorized: 63 - floor(log2) via bit length
+    lz[nz] = 64 - _bit_length(x)
+    tz[nz] = _trailing_zeros(x)
+    mlen = np.where(nz, 64 - lz - tz, 0)
+    # header: '0' (1 bit) or '1'+lz(6)+mlen-1(6) = 13 bits
+    hdr_val = np.where(
+        nz,
+        (np.uint64(1) << np.uint64(12))
+        | (lz.astype(np.uint64) << np.uint64(6))
+        | (mlen - 1).clip(0).astype(np.uint64),
+        np.uint64(0),
+    ).astype(np.uint64)
+    hdr_bits = np.where(nz, 13, 1).astype(np.int64)
+    man_val = np.zeros(n, dtype=np.uint64)
+    man_val[nz] = xor[nz] >> tz[nz].astype(np.uint64)
+    man_bits = np.where(nz, mlen, 0).astype(np.int64)
+    vals = np.stack([hdr_val, man_val], axis=1).ravel()
+    nbits = np.stack([hdr_bits, man_bits], axis=1).ravel()
+    return vals, nbits
+
+
+def _bit_length(x: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(x), dtype=np.int64)
+    v = x.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(shift))
+        out[m] += shift
+        v[m] >>= np.uint64(shift)
+    return out + 1
+
+
+def _trailing_zeros(x: np.ndarray) -> np.ndarray:
+    lsb = x & (~x + np.uint64(1))  # isolate lowest set bit
+    return _bit_length(lsb) - 1
+
+
+def encode_chunk(ts_ms: np.ndarray, values: np.ndarray) -> bytes:
+    """Encode one series-bucket's samples (ts ascending) into a chunk."""
+    ts_ms = np.asarray(ts_ms, dtype=np.int64)
+    values = np.asarray(values, dtype=np.float64)
+    if len(ts_ms) == 0:
+        raise ValueError("empty chunk")
+    if len(ts_ms) != len(values):
+        raise ValueError("ts/values length mismatch")
+    if len(ts_ms) > 1 and (np.diff(ts_ms) < 0).any():
+        raise ValueError("timestamps must be ascending")
+    first_val_bits = values[:1].view(np.uint64)[0]
+    if len(ts_ms) == 1:
+        ts_bits = np.zeros(0, dtype=bool)
+        val_bits = np.zeros(0, dtype=bool)
+    else:
+        ts_bits = _pack_bits(*_ts_fields(ts_ms))
+        val_bits = _pack_bits(*_val_fields(values))
+    stream = np.concatenate([ts_bits, val_bits])
+    payload = np.packbits(stream).tobytes() if len(stream) else b""
+    head = _HEADER.pack(len(ts_ms), len(ts_bits), int(ts_ms[0]), int(first_val_bits))
+    body = head + payload
+    return body + struct.pack("<I", zlib.crc32(body))
+
+
+class _BitReader:
+    """MSB-first reader over the payload, backed by one Python bigint."""
+
+    __slots__ = ("val", "nbits", "pos")
+
+    def __init__(self, data: bytes):
+        self.val = int.from_bytes(data, "big")
+        self.nbits = len(data) * 8
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        p = self.pos
+        if p + n > self.nbits:
+            raise ValueError("chunk truncated")
+        self.pos = p + n
+        return (self.val >> (self.nbits - p - n)) & ((1 << n) - 1)
+
+
+def decode_chunk(chunk: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_chunk -> (ts_ms int64, values float64)."""
+    if len(chunk) < _HEADER.size + 4:
+        raise ValueError("chunk too short")
+    body, (crc,) = chunk[:-4], struct.unpack("<I", chunk[-4:])
+    if zlib.crc32(body) != crc:
+        raise ValueError("chunk checksum mismatch")
+    count, ts_bits, first_ts, first_val_bits = _HEADER.unpack(body[: _HEADER.size])
+    ts = np.empty(count, dtype=np.int64)
+    vals_u = np.empty(count, dtype=np.uint64)
+    ts[0] = first_ts
+    vals_u[0] = first_val_bits
+    r = _BitReader(body[_HEADER.size :])
+    # timestamp stream
+    delta = 0
+    t = first_ts
+    for i in range(1, count):
+        ones = 0
+        while ones < 5 and r.read(1) == 1:
+            ones += 1
+        if ones == 0:
+            dod = 0
+        elif ones <= 4:
+            lo, _hi, _pb, _pv, wbits = _DOD_CLASSES[ones - 1]
+            dod = r.read(wbits) + lo
+        else:  # '11111' + 64-bit two's complement
+            raw = r.read(64)
+            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
+        delta += dod
+        t += delta
+        ts[i] = t
+    if r.pos != ts_bits:
+        raise ValueError("timestamp stream length mismatch")
+    # value stream
+    prev = int(first_val_bits)
+    for i in range(1, count):
+        if r.read(1) == 0:
+            vals_u[i] = prev
+        else:
+            lz = r.read(6)
+            mlen = r.read(6) + 1
+            mant = r.read(mlen)
+            tz = 64 - lz - mlen
+            prev ^= mant << tz
+            vals_u[i] = prev
+    return ts, vals_u.view(np.float64)
+
+
+# ------------------------------------------------------------- Spark layer
+
+CHUNK_SCHEMA_SUFFIX = (
+    "bucket_ms long, cnt long, t_min_ms long, t_max_ms long, chunk binary"
+)
+
+
+def make_encode_udf(series_cols: list[str]):
+    """Grouped-map fn for applyInPandas over (series..., bucket_ms):
+    one output row per group carrying the Gorilla chunk + header stats
+    (the writer.Appender/Commit analog, copyer.go:106-150)."""
+    import pandas as pd
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts_ms", kind="stable")
+        ts = pdf["ts_ms"].to_numpy(np.int64)
+        vals = pdf["value"].to_numpy(np.float64)
+        chunk = encode_chunk(ts, vals)
+        out = {c: [pdf[c].iloc[0]] for c in series_cols}
+        out.update(
+            bucket_ms=[pdf["bucket_ms"].iloc[0]],
+            cnt=[len(ts)],
+            t_min_ms=[int(ts[0])],
+            t_max_ms=[int(ts[-1])],
+            chunk=[chunk],
+        )
+        return pd.DataFrame(out)
+
+    return encode
+
+
+def make_decode_udf(series_cols: list[str]):
+    """mapInPandas fn exploding chunk rows back into (series, ts_ms,
+    value) points (the chunkenc.Iterator analog, copyer.go:108-135)."""
+    import pandas as pd
+
+    def decode(batches):
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                ts, vals = decode_chunk(row["chunk"])
+                d = {c: row[c] for c in series_cols}
+                frames.append(
+                    pd.DataFrame({**d, "ts_ms": ts, "value": vals})
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return decode
+
+
+def encode_tier_chunks(df, series_cols: list[str], tier, value_col="value", ts_col="ts"):
+    """Raw samples -> chunked tier table: per (series, bucket) one row
+    with the compressed chunk. The groupBy key includes the time bucket,
+    which bounds group size (the skew note in operators/skew.py)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.windows import TIER_MS, bucket_ms_col, unix_ms
+
+    tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
+    prepared = df.select(
+        *series_cols,
+        bucket_ms_col(F.col(ts_col), tier_ms).alias("bucket_ms"),
+        unix_ms(F.col(ts_col)).alias("ts_ms"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    series_schema = ", ".join(
+        f"{c} {t}" for c, t in prepared.select(*series_cols).dtypes
+    )
+    out_schema = f"{series_schema}, {CHUNK_SCHEMA_SUFFIX}"
+    return prepared.groupBy(*series_cols, "bucket_ms").applyInPandas(
+        make_encode_udf(series_cols), schema=out_schema
+    )
+
+
+def decode_tier_chunks(chunk_df, series_cols: list[str]):
+    """Chunked tier table -> points (verify path)."""
+    series_schema = ", ".join(
+        f"{c} {t}" for c, t in chunk_df.select(*series_cols).dtypes
+    )
+    return chunk_df.select(*series_cols, "chunk").mapInPandas(
+        make_decode_udf(series_cols), schema=f"{series_schema}, ts_ms long, value double"
+    )

@@ -45,7 +45,18 @@ def gapfill_locf(
             F.sequence(F.col("_lo"), F.col("_hi"), F.lit(tier_ms).cast("long"))
         ).alias("bucket_ms"),
     )
-    dense = calendar.join(tier_df, on=[*series_cols, "bucket_ms"], how="left")
+    # series labels can legitimately be null (e.g. `tool` -- Prometheus
+    # treats absent labels as ""), so the join must be NULL-safe: a plain
+    # equi-join would drop every null-labeled series' observations
+    right = tier_df
+    for c in [*series_cols, "bucket_ms"]:
+        right = right.withColumnRenamed(c, f"_r_{c}")
+    cond = F.lit(True)
+    for c in [*series_cols, "bucket_ms"]:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_r_{c}"))
+    dense = calendar.join(right, on=cond, how="left").drop(
+        *[f"_r_{c}" for c in [*series_cols, "bucket_ms"]]
+    )
     w = (
         Window.partitionBy(*series_cols)
         .orderBy("bucket_ms")

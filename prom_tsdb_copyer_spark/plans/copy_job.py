@@ -85,3 +85,56 @@ def run_rollups(df: DataFrame, job: CopyJob) -> dict[str, DataFrame]:
 
 def _appended_names(job: CopyJob) -> list[str]:
     return [p.split("=", 1)[0] for p in job.label_append]
+
+
+def sliced_rollup(
+    df: DataFrame,
+    job: CopyJob,
+    tier: str,
+    slice_ms: int,
+    from_ms: int,
+    to_ms: int,
+) -> DataFrame:
+    """Rollup computed the way the reference computes blocks: slice the
+    range with getQueryRange (--query-duration, copyer.go:177-180), roll
+    up each slice independently, then merge the per-slice partials --
+    the semantic equivalent of doCompact's k-way merge (compact.go:26-45,
+    SURVEY.md §2.8 M2 realization (a)).
+
+    Exists to *prove* slicing granularity is invisible in results (the
+    block-equality invariant, FIXTURES.md §3.4); the production path
+    (run_rollups) needs no slices because the shuffle already merges.
+    """
+    from ..operators.rollup import reaggregate, rollup
+    from ..operators.windows import get_query_range
+
+    series = [c for c in job.series_cols if c in df.columns]
+    slices = get_query_range(from_ms, to_ms, slice_ms)
+    parts = []
+    for w in slices:
+        sliced = df.where(in_time_range(F.col(job.ts_col), w.start_ms, w.end_ms))
+        parts.append(rollup(filtered_samples(sliced, job), series, job.value_col,
+                            tier, job.ts_col))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    # merge partials: re-aggregating at the SAME tier is the compaction
+    # (floor to the same grid is idempotent; partial rows combine)
+    return reaggregate(merged, series, tier)
+
+
+def copy_raw(df: DataFrame, job: CopyJob, path: str) -> None:
+    """Raw copy leg of entry point 2: filtered samples written to a
+    day-partitioned parquet table WITHOUT aggregation -- the closest
+    analog of the reference's full-resolution block copy, and the carrier
+    of the per-turn text-equality invariant (text rides along untouched;
+    stable (conv_id, turn_idx) ordering is re-established on read by
+    sort, as the TSDB re-establishes time order via its index)."""
+    from ..operators.windows import DAY_MS, bucket_ms_col
+
+    out = filtered_samples(df, job).withColumn(
+        "part_day", F.to_date(F.timestamp_millis(
+            bucket_ms_col(F.col(job.ts_col), DAY_MS)))
+    )
+    (out.write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_day").mode("overwrite").parquet(path))

@@ -210,6 +210,105 @@ def q_agg_q1(spark, sf_dir):
     )
 
 
+# ---------------------------------------------- training-data pipeline
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def q_dedup_exact(spark, sf_dir):
+    from prom_tsdb_copyer_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from prom_tsdb_copyer_spark.operators.dedup import (
+        doc_shingle_hashes,
+        minhash_signatures,
+    )
+
+    return minhash_signatures(doc_shingle_hashes(_docs(spark, sf_dir)))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from prom_tsdb_copyer_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from prom_tsdb_copyer_spark.operators.dedup import (
+        doc_shingle_hashes,
+        jaccard_pairs,
+    )
+
+    return jaccard_pairs(
+        doc_shingle_hashes(_docs(spark, sf_dir)), threshold=0.2
+    )
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    from prom_tsdb_copyer_spark.operators.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_docs(spark, sf_dir))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from prom_tsdb_copyer_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    return simhash_pairs(simhash_fingerprints(_docs(spark, sf_dir)), max_hamming=20)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from prom_tsdb_copyer_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=3)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from prom_tsdb_copyer_spark.operators.similarity import neardup_pairs
+
+    return neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+def q_text_tokens(spark, sf_dir):
+    from prom_tsdb_copyer_spark.operators.text import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    from prom_tsdb_copyer_spark.operators.text import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def q_text_langid(spark, sf_dir):
+    from prom_tsdb_copyer_spark.operators.text import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from prom_tsdb_copyer_spark.operators.text import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def q_multimodal_meta(spark, sf_dir):
+    from prom_tsdb_copyer_spark.operators.multimodal import (
+        docs_as_binary,
+        extract_metadata,
+    )
+
+    return extract_metadata(docs_as_binary(_docs(spark, sf_dir)))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMOKE", "/root/testdata/sf0.001")
@@ -235,10 +334,220 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_stats": q_chunk_stats,
         "topk_series": q_topk_series,
         "agg_q1": q_agg_q1,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+    }
+
+
+def _dedup_sql_blocks() -> dict[str, str]:
+    """Shared CTE bodies for the dedup oracles, generated from the same
+    constants as the Spark side (functions/hashing.py)."""
+    from prom_tsdb_copyer_spark.functions.hashing import (
+        LSH_ROWS,
+        M,
+        NUM_HASHES,
+        affine_sql,
+        hash60_sql,
+        shingles_sql,
+    )
+
+    sh = f"""
+        SELECT DISTINCT doc_id, ({hash60_sql('s')}) % {M} AS hm
+        FROM (SELECT doc_id, unnest({shingles_sql('text')}) AS s FROM documents)
+    """
+    ix = f"SELECT unnest(generate_series(0, {NUM_HASHES - 1})) AS i"
+    sig = f"SELECT doc_id, i, min({affine_sql('hm', 'i')}) AS minhash FROM sh, ix GROUP BY 1, 2"
+    bands = f"""
+        SELECT doc_id, (i // {LSH_ROWS})::INT AS band,
+               md5(string_agg(printf('%02d:%d', i, minhash), ',' ORDER BY i)) AS sig
+        FROM sig GROUP BY 1, 2
+    """
+    cands = """
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig
+        WHERE l.doc_id < r.doc_id
+    """
+    inter = """
+        SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+        FROM sh l JOIN sh r ON l.hm = r.hm WHERE l.doc_id < r.doc_id
+        GROUP BY 1, 2
+    """
+    sizes = "SELECT doc_id, count(*) AS n FROM sh GROUP BY 1"
+    jacc = """
+        SELECT i.a, i.b, i.inter, sa.n AS n_a, sb.n AS n_b,
+               round(i.inter / (sa.n + sb.n - i.inter), 4) AS jaccard
+        FROM inter i JOIN sizes sa ON i.a = sa.doc_id
+                     JOIN sizes sb ON i.b = sb.doc_id
+    """
+    return {"sh": sh, "ix": ix, "sig": sig, "bands": bands, "cands": cands,
+            "inter": inter, "sizes": sizes, "jacc": jacc}
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    from prom_tsdb_copyer_spark.functions.hashing import M, hash60_sql, shingles_sql
+    from prom_tsdb_copyer_spark.operators.dedup import SIMHASH_BITS
+    from prom_tsdb_copyer_spark.operators.text import PUNCT, STOPWORDS
+
+    b = _dedup_sql_blocks()
+    tokens_expr = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')"
+
+    def stop_hits(lang: str) -> str:
+        words = "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+        return f"len(list_filter({tokens_expr}, t -> list_contains({words}, lower(t))))"
+
+    cos = (
+        "round(list_dot_product(qv, v) / "
+        "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)"
+    )
+    return {
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+                   count(*) AS n_dupes
+            FROM documents GROUP BY 1
+        """,
+        "minhash_signatures": f"""
+            WITH sh AS ({b['sh']}), ix AS ({b['ix']})
+            {b['sig']}
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH sh AS ({b['sh']}), ix AS ({b['ix']}), sig AS ({b['sig']}),
+                 bands AS ({b['bands']}), cands AS ({b['cands']}),
+                 inter0 AS ({b['inter']}),
+                 inter AS (SELECT i.* FROM inter0 i SEMI JOIN cands c
+                           ON i.a = c.a AND i.b = c.b),
+                 sizes AS ({b['sizes']})
+            SELECT * FROM ({b['jacc']}) WHERE jaccard >= 0.5
+        """,
+        "ngram_jaccard": f"""
+            WITH sh AS ({b['sh']}), inter AS ({b['inter']}), sizes AS ({b['sizes']})
+            SELECT * FROM ({b['jacc']}) WHERE jaccard >= 0.2
+        """,
+        "simhash_fingerprints": f"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, {hash60_sql('t')} AS h
+              FROM (SELECT doc_id, unnest({tokens_expr}) AS t FROM documents)
+              WHERE t != ''),
+            bits AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM toks, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS j)
+              GROUP BY 1, 2)
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS fp
+            FROM bits GROUP BY 1
+        """,
+        "simhash_pairs": f"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, {hash60_sql('t')} AS h
+              FROM (SELECT doc_id, unnest({tokens_expr}) AS t FROM documents)
+              WHERE t != ''),
+            bits AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM toks, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS j)
+              GROUP BY 1, 2),
+            fp AS (
+              SELECT doc_id,
+                     sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS f
+              FROM bits GROUP BY 1)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   bit_count(xor(a.f, b.f)) AS hamming
+            FROM fp a, fp b
+            WHERE a.doc_id < b.doc_id AND bit_count(xor(a.f, b.f)) <= 20
+        """,
+        "ann_cosine_topk": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+                 scored AS (
+                   SELECT query_id, e.vec_id AS neighbor_id, {cos} AS cosine
+                   FROM q, e WHERE e.vec_id != query_id),
+                 ranked AS (
+                   SELECT *, row_number() OVER (
+                     PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                   ) AS rank FROM scored)
+            SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+        """,
+        "embedding_neardup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) *
+                          sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM e a, e b
+            WHERE a.vec_id < b.vec_id
+              AND round(list_dot_product(a.v, b.v) /
+                        (sqrt(list_dot_product(a.v, a.v)) *
+                         sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+        """,
+        "text_tokens": f"""
+            SELECT doc_id, length(text) AS n_chars,
+                   len({tokens_expr}) AS n_tokens,
+                   len(list_distinct({tokens_expr})) AS n_distinct_tokens
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH base AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     len({tokens_expr}) AS n_tokens,
+                     length(text) - length(regexp_replace(text, '[{PUNCT}]', '', 'g')) AS n_punct,
+                     {stop_hits('en')} AS sw
+              FROM documents)
+            SELECT doc_id,
+                   round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+                   round(sw / greatest(n_tokens, 1), 4) AS stopword_ratio,
+                   round((n_chars - (n_tokens - 1)) / greatest(n_tokens, 1), 4) AS mean_word_len,
+                   round(least(n_chars / 500.0, 1.0), 4) AS length_score,
+                   round(0.4 * round(least(n_chars / 500.0, 1.0), 4)
+                       + 0.4 * round(sw / greatest(n_tokens, 1), 4)
+                       + 0.2 * (1 - round(n_punct / greatest(n_chars, 1), 4)), 4) AS quality_score
+            FROM base
+        """,
+        "text_langid": f"""
+            WITH s AS (
+              SELECT doc_id, {stop_hits('en')} AS en, {stop_hits('de')} AS de,
+                     {stop_hits('fr')} AS fr
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN greatest(en, de, fr) = 0 THEN 'unk'
+                        WHEN en = greatest(en, de, fr) THEN 'en'
+                        WHEN de = greatest(en, de, fr) THEN 'de'
+                        ELSE 'fr' END AS lang_pred
+            FROM s
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id, min(({hash60_sql('s')}) % {M}) AS fingerprint
+            FROM (SELECT doc_id, unnest({shingles_sql('text')}) AS s FROM documents)
+            GROUP BY 1
+        """,
+        "multimodal_meta": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   ascii(text) AS magic,
+                   (ascii(text) % 64 + 1)::INT AS fake_width,
+                   (ascii(substr(text, 2, 1)) % 64 + 1)::INT AS fake_height
+            FROM documents
+        """,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    out = _pipeline_oracles()
+    out.update(_core_oracles())
+    return out
+
+
+def _core_oracles() -> dict[str, str]:
     return {
         "tier_rollup_1m": _rollup_sql(MINUTE_MS),
         "tier_rollup_1h": _rollup_sql(HOUR_MS),

@@ -1,0 +1,210 @@
+"""Deduplication operators over a documents table (training-data
+pipeline; extension beyond the reference per the build brief).
+
+All four flavors are pure DataFrame compositions (JVM-side, codegen'd,
+no Python in the hot path), each with a DuckDB-expressible twin so the
+driver's oracle gate covers them:
+
+  exact        md5(text) group-by, min-doc_id representative
+  minhash LSH  shingle -> 60-bit hash -> k affine permutations -> min ->
+               band -> bucket-join -> candidate pairs -> exact-Jaccard
+               verify (the standard Broder/LSH pipeline)
+  simhash      60-bit fingerprint from signed token-bit sums; near-dup =
+               hamming distance <= r via bit_count(xor)
+  n-gram       exact Jaccard over character-shingle sets via a
+               shared-shingle self-join (no cross join: only pairs that
+               share >= 1 shingle are materialized)
+
+Scale notes: the minhash explode factor is k=32 per *distinct* (doc,
+shingle-hash) pair -- dedupe first, then explode; the band join
+shuffles on (band, signature), which is uniformly distributed by
+construction (hash keys). The n-gram self-join shuffles on shingle hash;
+stop-shingle skew (very common 5-grams) is the known hazard at scale --
+mitigate by dropping shingles with document frequency above a cap (the
+`max_df` knob) before the join, which is also a quality win.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    M,
+    NUM_HASHES,
+    affine_col,
+    hash60,
+    shingle_col,
+)
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one representative (min id) per distinct text hash."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+def doc_shingle_hashes(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, hm): distinct 30-bit-reduced shingle hashes per document."""
+    return (
+        docs.select(F.col(id_col), F.explode(shingle_col(F.col(text_col))).alias("sh"))
+        .select(id_col, (hash60(F.col("sh")) % M).alias("hm"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, i, minhash): k=NUM_HASHES min-of-affine-permutation values.
+
+    explode(sequence(0, k-1)) over the deduped shingle set, min per
+    (doc, i) -- all JVM; partial aggregation combines map-side."""
+    return (
+        sh.select(id_col, "hm", F.explode(F.sequence(F.lit(0), F.lit(NUM_HASHES - 1))).alias("i"))
+        .select(id_col, "i", affine_col(F.col("hm"), F.col("i")).alias("av"))
+        .groupBy(id_col, "i")
+        .agg(F.min("av").alias("minhash"))
+    )
+
+
+def lsh_candidates(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band signatures -> bucket join -> unordered candidate pairs (a<b).
+
+    band = i // LSH_ROWS; band signature = md5 of the concatenated
+    minhashes in band order."""
+    bands = (
+        sig.withColumn("band", F.floor(F.col("i") / LSH_ROWS).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list(
+                    F.format_string("%02d:%d", F.col("i"), F.col("minhash"))
+                )))
+            ).alias("sig")
+        )
+    )
+    left = bands.select(F.col(id_col).alias("a"), "band", "sig")
+    right = bands.select(F.col(id_col).alias("b"), "band", "sig")
+    return (
+        left.join(right, on=["band", "sig"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    candidates: DataFrame | None = None,
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over shingle-hash sets via shared-shingle self-join.
+
+    candidates=None computes all co-shingled pairs; otherwise restricted
+    (semi-join) to the candidate set. `max_df` drops shingles appearing
+    in more than max_df docs before joining (skew + quality guard)."""
+    if max_df is not None:
+        df_counts = sh.groupBy("hm").agg(F.count("*").alias("df"))
+        sh = sh.join(
+            F.broadcast(df_counts.where(F.col("df") <= max_df).select("hm")), "hm"
+        )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("a"), "hm")
+    b = sh.select(F.col(id_col).alias("b"), "hm")
+    inter = (
+        a.join(b, "hm")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["a", "b"], how="left_semi")
+    na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("n_b"))
+    out = (
+        inter.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4
+            ),
+        )
+        .select("a", "b", "inter", "n_a", "n_b", "jaccard")
+    )
+    if threshold > 0:
+        out = out.where(F.col("jaccard") >= threshold)
+    return out
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame, threshold: float = 0.5, id_col: str = "doc_id"
+) -> DataFrame:
+    """Full LSH pipeline: shingle -> sign -> band -> candidates ->
+    exact-Jaccard verification at `threshold`."""
+    sh = doc_shingle_hashes(docs, id_col=id_col)
+    cands = lsh_candidates(minhash_signatures(sh, id_col), id_col)
+    return jaccard_pairs(sh, cands, id_col=id_col, threshold=threshold)
+
+
+# ---------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 60
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, fp): 60-bit simhash over distinct whitespace tokens.
+
+    Two-level aggregation, all JVM: per (doc, bit) signed sum, then the
+    fingerprint as sum of set-bit weights."""
+    tokens = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+        .select(id_col, hash60(F.col("tok")).alias("h"))
+    )
+    bit_sums = (
+        tokens.select(
+            id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j")
+        )
+        .groupBy(id_col, "j")
+        .agg(
+            F.sum(
+                # shiftright() via expr: the python wrapper only takes a
+                # literal shift, the SQL function takes a column
+                F.when(F.expr("shiftright(h, j)").bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return bit_sums.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, j)")).otherwise(0)
+        ).alias("fp")
+    )
+
+
+def simhash_pairs(fp: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by hamming distance over fingerprints.
+
+    All-pairs comparison -- correct for oracle checking; the scale path
+    blocks on fingerprint bytes (split fp into max_hamming+1 segments,
+    join on segment equality: pigeonhole guarantees recall) before the
+    bit_count filter."""
+    a = fp.select(F.col(id_col).alias("a"), F.col("fp").alias("fp_a"))
+    b = fp.select(F.col(id_col).alias("b"), F.col("fp").alias("fp_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

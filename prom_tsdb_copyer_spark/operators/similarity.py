@@ -1,0 +1,146 @@
+"""Similarity search over an embedding column (training-data pipeline).
+
+Brute-force cosine top-k is the exactness baseline (and the oracle-
+checkable one); the LSH-bucketed variant (random hyperplane signs) is
+the scale path -- at 100TB the cross join is infeasible, so candidates
+are restricted to same-bucket pairs and the brute-force kernel runs per
+bucket. Both paths keep the arithmetic in Spark built-ins (`zip_with` +
+`aggregate` fold in DOUBLE), no Python in the kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns, JVM-side fold."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(df: DataFrame, col: str) -> DataFrame:
+    return df.withColumn(col, F.col(col).cast("array<double>"))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    The corpus side is the big one; the query side is broadcast -- the
+    join is a broadcast nested loop with the cosine fold inside codegen,
+    followed by a per-query top-k window (rank on rounded sim with id
+    tie-break for cross-engine determinism)."""
+    from pyspark.sql import Window
+
+    corpus = _as_double(embeddings, vec_col)
+    qs = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_col(F.col("qvec"), F.col(vec_col)), round_to).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """All pairs (a<b) with cosine >= threshold (embedding near-dedup).
+
+    All-pairs for oracle parity; at scale use `hyperplane_buckets` first
+    and run this kernel within buckets only."""
+    e = _as_double(embeddings, vec_col)
+    a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), round_to))
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def hyperplane_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 16,
+    dim: int = 64,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (sign bits packed into
+    a long). Deterministic planes from a fixed seed, embedded as array
+    literals so the whole computation stays in codegen -- the scale path
+    that turns the quadratic cross join into a per-bucket kernel."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    e = _as_double(embeddings, vec_col)
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[j]])
+        bit = F.when(_dot(F.col(vec_col), plane) >= 0, 1).otherwise(0).cast("long")
+        bucket = bucket + F.shiftleft(bit, j)
+    return e.select(id_col, vec_col, bucket.alias("bucket"))
+
+
+def bucketed_neardup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN near-dup: hyperplane bucket -> within-bucket pairs -> cosine.
+
+    Approximate (misses cross-bucket pairs, P(split) grows with angle);
+    recall is tested against the brute-force baseline in pytest."""
+    b = hyperplane_buckets(embeddings, n_planes, dim, id_col=id_col, vec_col=vec_col)
+    a = b.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
+    c = b.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+        .distinct()
+    )

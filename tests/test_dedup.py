@@ -1,0 +1,86 @@
+"""Dedup operators: semantic properties beyond the driver's oracle gate
+(recall of LSH vs exact Jaccard, exact-dup detection on planted dups).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prom_tsdb_copyer_spark.operators.dedup import (
+    dedup_exact,
+    doc_shingle_hashes,
+    jaccard_pairs,
+    lsh_candidates,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Planted-duplicate corpus: 30 base docs, 5 exact dups, 5 near-dups
+    (one word changed), derived deterministically."""
+    base = [
+        (i, " ".join(f"w{(i * 7 + j * 3) % 40}" for j in range(60)))
+        for i in range(30)
+    ]
+    exact = [(100 + i, base[i][1]) for i in range(5)]
+    near = [(200 + i, base[i][1].replace(f"w{(i * 7) % 40} ", "zzz ", 1))
+            for i in range(5)]
+    return spark.createDataFrame(base + exact + near, "doc_id long, text string")
+
+
+def test_exact_dedup_finds_planted_dups(spark, docs):
+    d = dedup_exact(docs)
+    dupes = d.where(F.col("n_dupes") > 1)
+    rows = {r["keep_id"]: r["n_dupes"] for r in dupes.collect()}
+    assert rows == {i: 2 for i in range(5)}
+    assert d.count() == 35  # 40 docs, 5 collapse
+
+
+def test_lsh_recall_vs_exact_jaccard(spark, docs):
+    """Every pair with true Jaccard >= 0.8 must surface as an LSH
+    candidate (8 bands x 4 rows: P[miss at J=.8] = (1-.8^4)^8 ~ 1%;
+    the planted pairs are J=1.0 or ~0.9 -> recall must be total)."""
+    sh = doc_shingle_hashes(docs)
+    truth = {
+        (r["a"], r["b"])
+        for r in jaccard_pairs(sh, threshold=0.8).collect()
+    }
+    cands = {
+        (r["a"], r["b"])
+        for r in lsh_candidates(minhash_signatures(sh)).collect()
+    }
+    assert truth, "fixture must contain high-jaccard pairs"
+    assert truth <= cands, f"LSH missed {truth - cands}"
+
+
+def test_minhash_pipeline_finds_planted_pairs(spark, docs):
+    pairs = {(r["a"], r["b"]) for r in minhash_dedup_pairs(docs, 0.8).collect()}
+    for i in range(5):
+        assert (i, 100 + i) in pairs  # exact dups
+    for i in range(5):
+        assert (i, 200 + i) in pairs  # near dups (59/60 shared words)
+
+
+def test_simhash_near_for_near_texts(spark, docs):
+    fp = simhash_fingerprints(docs)
+    pairs = simhash_pairs(fp, max_hamming=3)
+    got = {(r["a"], r["b"]): r["hamming"] for r in pairs.collect()}
+    for i in range(5):
+        assert got.get((i, 100 + i)) == 0  # identical token sets
+    # near-dups (1 token changed of ~40 distinct) stay within a few bits
+    near = simhash_pairs(fp, max_hamming=12)
+    near_keys = {(r["a"], r["b"]) for r in near.collect()}
+    assert all((i, 200 + i) in near_keys for i in range(5))
+
+
+def test_jaccard_max_df_guard(spark, docs):
+    """Dropping ubiquitous shingles must not create false positives."""
+    sh = doc_shingle_hashes(docs)
+    strict = jaccard_pairs(sh, threshold=0.9).count()
+    with_cap = jaccard_pairs(sh, threshold=0.9, max_df=35).count()
+    assert with_cap <= strict + 5  # cap only removes evidence, roughly monotone

@@ -1,0 +1,70 @@
+"""Similarity search: brute-force exactness vs numpy, ANN recall vs the
+brute-force baseline, hyperplane bucketing determinism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from prom_tsdb_copyer_spark.operators.similarity import (
+    brute_force_topk,
+    bucketed_neardup,
+    hyperplane_buckets,
+    neardup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    """64-dim embeddings with planted near-dup clusters."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 64))
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # planted: 100+i = tiny perturbation of i (cosine ~ 0.999)
+    for i in range(5):
+        rows.append((100 + i, (base[i] + 0.01 * rng.standard_normal(64)).tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _np_cosine(a, b):
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_brute_force_matches_numpy(spark, emb):
+    pdf = emb.toPandas().set_index("vec_id")
+    vecs = {i: np.array(v) for i, v in pdf["embedding"].items()}
+    got = brute_force_topk(emb, emb.where(F.col("vec_id") < 3), k=5).collect()
+    for r in got:
+        expect = round(_np_cosine(vecs[r["query_id"]], vecs[r["neighbor_id"]]), 6)
+        assert abs(r["cosine"] - expect) < 1e-9
+    # per-query exact top-5 by numpy
+    for q in range(3):
+        sims = sorted(
+            ((round(_np_cosine(vecs[q], v), 6), i) for i, v in vecs.items() if i != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        want = [i for _, i in sims]
+        have = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])
+                if r["query_id"] == q]
+        assert have == want
+
+
+def test_neardup_finds_planted(spark, emb):
+    pairs = {(r["a"], r["b"]) for r in neardup_pairs(emb, 0.99).collect()}
+    assert {(i, 100 + i) for i in range(5)} <= pairs
+
+
+def test_bucketed_recall_on_planted(spark, emb):
+    """Near-identical vectors land in the same hyperplane bucket with
+    overwhelming probability (angle ~ 0.5 deg, 8 planes)."""
+    got = {(r["a"], r["b"]) for r in bucketed_neardup(emb, 0.99, n_planes=8).collect()}
+    brute = {(r["a"], r["b"]) for r in neardup_pairs(emb, 0.99).collect()}
+    assert len(got & brute) >= len(brute) - 1  # allow one boundary split
+
+
+def test_buckets_deterministic(spark, emb):
+    b1 = {r["vec_id"]: r["bucket"] for r in hyperplane_buckets(emb, 8).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in hyperplane_buckets(emb, 8).collect()}
+    assert b1 == b2

@@ -1,0 +1,93 @@
+"""Text analysis + multimodal plumbing: deterministic feature checks on
+hand-computable inputs, stub behavior.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from prom_tsdb_copyer_spark.operators.multimodal import (
+    decode_image,
+    docs_as_binary,
+    extract_features,
+    extract_metadata,
+    fake_decode_image,
+)
+from prom_tsdb_copyer_spark.operators.text import (
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat and the dog, in a house."),
+        (1, "der hund und die katze ist nicht da"),
+        (2, "xyzzy plugh"),
+        (3, "le chat est dans la maison pour que"),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_counts(spark, docs):
+    got = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert got[0]["n_tokens"] == 8
+    assert got[0]["n_distinct_tokens"] == 7  # 'the' twice
+    assert got[4]["n_tokens"] == 0
+    assert got[0]["n_chars"] == len("the cat and the dog, in a house.")
+
+
+def test_language_id(spark, docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[3] == "fr"
+    assert got[2] == "unk"
+    assert got[4] == "unk"
+
+
+def test_quality_monotone_in_signal(spark, docs):
+    got = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert got[0]["quality_score"] > got[2]["quality_score"]  # stopwords help
+    assert 0 <= got[0]["punct_ratio"] < 0.2
+    assert got[4]["quality_score"] is not None  # empty doc doesn't crash
+
+
+def test_fingerprint_stable_and_discriminating(spark, docs):
+    fp1 = {r["doc_id"]: r["fingerprint"] for r in fingerprints(docs).collect()}
+    fp2 = {r["doc_id"]: r["fingerprint"] for r in fingerprints(docs).collect()}
+    assert fp1 == fp2
+    assert len(set(fp1.values())) > 1
+
+
+# ------------------------------------------------------------ multimodal
+
+def test_metadata_plumbing(spark, docs):
+    got = {r["doc_id"]: r for r in
+           extract_metadata(docs_as_binary(docs.where("doc_id < 4"))).collect()}
+    assert got[0]["n_bytes"] == len("the cat and the dog, in a house.")
+    assert got[0]["magic"] == ord("t")
+    assert got[0]["fake_width"] == ord("t") % 64 + 1
+
+
+def test_feature_extraction_batch_shape(spark, docs):
+    feats = extract_features(docs_as_binary(docs.where("doc_id < 4"))).collect()
+    assert len(feats) == 4
+    for r in feats:
+        assert 0 <= r["mean_r"] <= 255
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\x89PNG...")
+
+
+def test_fake_decode_deterministic():
+    a = fake_decode_image(b"hello world", 4, 4)
+    b = fake_decode_image(b"hello world", 4, 4)
+    assert a.shape == (4, 4, 3) and np.array_equal(a, b)

@@ -1,0 +1,182 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the north-rule
+rollup cascade over a deterministic synthetic transcripts table, and
+print ONE JSON line:
+
+    {"metric": "rollup_points_per_sec", "value": N, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": ...}
+
+`--scaling` mode: run the same rollup job in fresh subprocesses at
+local[8] and local[32] (the sandbox analog of N vs 4N executors,
+BASELINE.md) and print throughput at both plus scaling efficiency.
+
+The headline metric is rolled-up points(samples)/sec through the full
+1m->1h->1d cascade including the partitioned-parquet sink, matching the
+reference's samples/sec copy rate semantics (BASELINE.md: 2.70 M/s at
+T1, 6.58 M/s at T4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "12000"))  # ~5.5M turns (zipf mean ~460)
+BENCH_SEED = 42
+BENCH_INPUT = os.environ.get(
+    "BENCH_INPUT", f"/tmp/bench_transcripts_c{BENCH_CONVS}_s{BENCH_SEED}"
+)
+SERIES = ["conv_id", "role", "tool"]
+
+
+def ensure_bench_input() -> int:
+    """Generate (once) and cache the synthetic transcripts parquet."""
+    marker = os.path.join(BENCH_INPUT, "_ROWS")
+    if os.path.exists(marker):
+        return int(open(marker).read())
+    from prom_tsdb_copyer_spark.datagen import write_bench_parquet
+
+    if os.path.isdir(BENCH_INPUT):
+        shutil.rmtree(BENCH_INPUT)
+    n = write_bench_parquet(BENCH_INPUT, BENCH_CONVS, BENCH_SEED)
+    with open(marker, "w") as f:
+        f.write(str(n))
+    return n
+
+
+def timed(fn):
+    t0 = time.monotonic()
+    out = fn()
+    return time.monotonic() - t0, out
+
+
+def run_bench() -> dict:
+    from pyspark.sql import functions as F
+
+    from prom_tsdb_copyer_spark.operators.rollup import cascade
+    from prom_tsdb_copyer_spark.session import get_spark
+
+    n_rows = ensure_bench_input()
+    spark = get_spark(
+        app_name="bench", cores=CPUS, shuffle_partitions=max(CPUS, 8)
+    )
+    import __spark_entry__ as entry
+
+    queries: dict[str, float] = {}
+
+    # --- north-rule headline: full tier cascade over synthetic transcripts
+    from prom_tsdb_copyer_spark.plans.copy_job import CopyJob, run_and_write_rollups
+
+    transcripts = spark.read.parquet(BENCH_INPUT)
+    out_root = "/tmp/bench_tiers"
+    shutil.rmtree(out_root, ignore_errors=True)
+
+    def full_cascade():
+        run_and_write_rollups(spark, transcripts, CopyJob(), out_root)
+
+    secs, _ = timed(full_cascade)
+    queries["rollup_cascade_write"] = round(secs, 3)
+    headline = n_rows / secs
+
+    # --- gorilla encode leg over the same input (1h chunks)
+    from prom_tsdb_copyer_spark.functions.gorilla import encode_tier_chunks
+
+    secs, n_chunks = timed(
+        lambda: encode_tier_chunks(transcripts, SERIES, "1h").count()
+    )
+    queries["gorilla_encode_1h"] = round(secs, 3)
+
+    # --- driver-table headline queries (oracle-aligned shapes)
+    q = entry.queries()
+    for name in (
+        "tier_rollup_1m",
+        "flagship_copy",
+        "gapfill_locf_1h",
+        "minhash_lsh_pairs",
+        "ann_cosine_topk",
+        "text_quality",
+    ):
+        secs, _ = timed(lambda name=name: q[name](spark, SF_DIR).count())
+        queries[name] = round(secs, 3)
+
+    spark.stop()
+    return {
+        "metric": "rollup_points_per_sec",
+        "value": round(headline, 1),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "bench_rows": n_rows,
+        "cpus": CPUS,
+    }
+
+
+def run_scaling() -> dict:
+    """Same cascade job at two parallelism levels in fresh JVMs."""
+    ensure_bench_input()
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_MODE="cascade_only")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cascade-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8, t32 = results[8]["seconds"], results[32]["seconds"]
+    rows = results[32]["rows"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "throughput_8": round(rows / t8, 1),
+        "throughput_32": round(rows / t32, 1),
+        "seconds_8": round(t8, 2),
+        "seconds_32": round(t32, 2),
+        "rows": rows,
+    }
+
+
+def run_cascade_only() -> dict:
+    from prom_tsdb_copyer_spark.plans.copy_job import CopyJob, run_and_write_rollups
+    from prom_tsdb_copyer_spark.session import get_spark
+
+    n_rows = ensure_bench_input()
+    spark = get_spark(app_name=f"bench-{CPUS}", cores=CPUS,
+                      shuffle_partitions=max(CPUS, 8))
+    transcripts = spark.read.parquet(BENCH_INPUT)
+    out_root = f"/tmp/bench_tiers_{CPUS}"
+
+    def job():
+        shutil.rmtree(out_root, ignore_errors=True)
+        run_and_write_rollups(spark, transcripts, CopyJob(), out_root)
+
+    # warm-up pass (JVM/codegen warm, OS page cache) then measured pass,
+    # mirroring the reference benchmark's steady-state comparison
+    timed(job)
+    secs, _ = timed(job)
+    spark.stop()
+    return {"seconds": secs, "rows": n_rows, "cpus": CPUS}
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif "--cascade-only" in sys.argv:
+        print(json.dumps(run_cascade_only()))
+    else:
+        print(json.dumps(run_bench()))

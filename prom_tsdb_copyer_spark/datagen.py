@@ -22,7 +22,9 @@ BASE_TS_MS = 1767225600000  # 2026-01-01T00:00:00Z
 SCALES = {"tiny": 50, "small": 2000}
 
 
-def gen_transcripts_pdf(n_convs: int = 50, seed: int = 42) -> pd.DataFrame:
+def gen_transcripts_pdf(
+    n_convs: int = 50, seed: int = 42, with_text: bool = True
+) -> pd.DataFrame:
     rng = np.random.default_rng(seed)
     lengths = np.clip(rng.zipf(1.3, n_convs), 1, 5000).astype(np.int64)
     total = int(lengths.sum())
@@ -55,11 +57,18 @@ def gen_transcripts_pdf(n_convs: int = 50, seed: int = 42) -> pd.DataFrame:
         gaps_ms, lengths
     )
 
-    text_lens = rng.integers(10, 2001, total)
-    texts = [
-        _turn_text(c, int(t), int(n))
-        for c, t, n in zip(conv_ids, turn_idx, text_lens)
-    ]
+    if with_text:
+        text_lens = rng.integers(10, 2001, total)
+        texts = [
+            _turn_text(c, int(t), int(n))
+            for c, t, n in zip(conv_ids, turn_idx, text_lens)
+        ]
+    else:
+        # bench mode: the rollup path never reads text (column pruning
+        # drops it at the scan); keep a short deterministic stand-in so
+        # the schema stays identical without 1KB/row generation cost
+        rng.integers(10, 2001, total)  # keep the RNG stream aligned
+        texts = np.full(total, "t", dtype=object)
 
     return pd.DataFrame(
         {
@@ -88,9 +97,35 @@ def _turn_text(conv_id: str, turn_idx: int, length: int) -> str:
     return (h * reps)[:length]
 
 
-def gen_transcripts_df(spark, n_convs: int = 50, seed: int = 42):
+def write_bench_parquet(
+    path: str, n_convs: int, seed: int = 42, rows_per_file: int = 2_000_000
+) -> int:
+    """Generate a bench-scale transcripts table straight to parquet via
+    pyarrow (no Spark, no text payload) -- cached input for scaling runs.
+    Returns total rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = gen_transcripts_pdf(n_convs, seed, with_text=False)
+    # Spark cannot read TIMESTAMP(NANOS) parquet -- coerce to micros
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    n = len(pdf)
+    for i, lo in enumerate(range(0, n, rows_per_file)):
+        pq.write_table(
+            table.slice(lo, rows_per_file),
+            os.path.join(path, f"part-{i:04d}.parquet"),
+            compression="zstd",
+        )
+    return n
+
+
+def gen_transcripts_df(spark, n_convs: int = 50, seed: int = 42, with_text: bool = True):
     """Spark DataFrame via the Arrow path, ms-precision timestamps."""
-    pdf = gen_transcripts_pdf(n_convs, seed)
+    pdf = gen_transcripts_pdf(n_convs, seed, with_text)
     from pyspark.sql import types as T
 
     schema = T.StructType(

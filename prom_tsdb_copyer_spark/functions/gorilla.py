@@ -61,23 +61,53 @@ _DOD_CLASSES = (
 _DOD_WIDE = (5, 0b11111, 64)
 
 
-def _pack_bits(field_vals: np.ndarray, field_nbits: np.ndarray) -> np.ndarray:
-    """Scatter variable-width MSB-first fields into one bool bit array.
+def _or_runs(words: np.ndarray, idx_sorted: np.ndarray, vals: np.ndarray) -> None:
+    """words[idx] |= vals with idx sorted ascending: contiguous runs of
+    equal idx are OR-reduced with reduceat (vectorized), then scattered
+    to unique positions -- avoids the slow ufunc.at path."""
+    if not len(idx_sorted):
+        return
+    starts = np.flatnonzero(np.diff(idx_sorted, prepend=idx_sorted[0] - 1))
+    red = np.bitwise_or.reduceat(vals, starts)
+    words[idx_sorted[starts]] |= red
 
-    Loops over bit positions within a field (bounded by 64), vectorized
-    over all fields -- the 'vectorize across samples, iterate bit index'
-    assembler promised in SURVEY.md §7 item 4.
+
+def _pack_fields(field_vals: np.ndarray, field_nbits: np.ndarray) -> bytes:
+    """Pack variable-width MSB-first fields into a byte string.
+
+    Word-level assembler: each field contributes to at most two adjacent
+    64-bit words; contributions are computed vectorized and OR-merged
+    per word via sorted-run reduceat -- O(n_fields) word ops instead of
+    O(total_bits) bit ops ('vectorize across samples', SURVEY.md §7.4).
     """
-    field_nbits = field_nbits.astype(np.int64)
-    offsets = np.concatenate([[0], np.cumsum(field_nbits)[:-1]])
-    total = int(field_nbits.sum())
-    bits = np.zeros(total, dtype=bool)
-    max_n = int(field_nbits.max()) if len(field_nbits) else 0
-    for b in range(max_n):
-        mask = field_nbits > b
-        shift = (field_nbits[mask] - 1 - b).astype(np.uint64)
-        bits[offsets[mask] + b] = ((field_vals[mask] >> shift) & np.uint64(1)) != 0
-    return bits
+    nbits = field_nbits.astype(np.int64)
+    total = int(nbits.sum())
+    if total == 0:
+        return b""
+    keep = nbits > 0
+    nbits_k = nbits[keep]
+    vals = field_vals[keep].astype(np.uint64, copy=False)
+    ends = np.cumsum(nbits)[keep]
+    offs = ends - nbits_k
+    n_words = (total + 63) // 64
+    words = np.zeros(n_words, dtype=np.uint64)
+
+    word_idx = (offs >> 6).astype(np.int64)
+    bit_in = (offs & 63).astype(np.int64)
+    take = np.minimum(nbits_k, 64 - bit_in)  # bits landing in first word
+    rem = nbits_k - take  # bits spilling into the next word
+    u = np.uint64
+    take_mask = np.where(take >= 64, ~u(0), (u(1) << take.astype(np.uint64)) - u(1))
+    hi = ((vals >> rem.astype(np.uint64)) & take_mask) << (
+        (64 - bit_in - take).astype(np.uint64)
+    )
+    _or_runs(words, word_idx, hi)
+    cross = rem > 0
+    if cross.any():
+        rem_c = rem[cross].astype(np.uint64)
+        lo = (vals[cross] & ((u(1) << rem_c) - u(1))) << (u(64) - rem_c)
+        _or_runs(words, word_idx[cross] + 1, lo)
+    return words.astype(">u8").tobytes()[: (total + 7) // 8]
 
 
 def _ts_fields(ts_ms: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -163,14 +193,16 @@ def encode_chunk(ts_ms: np.ndarray, values: np.ndarray) -> bytes:
         raise ValueError("timestamps must be ascending")
     first_val_bits = values[:1].view(np.uint64)[0]
     if len(ts_ms) == 1:
-        ts_bits = np.zeros(0, dtype=bool)
-        val_bits = np.zeros(0, dtype=bool)
+        payload = b""
+        n_ts_bits = 0
     else:
-        ts_bits = _pack_bits(*_ts_fields(ts_ms))
-        val_bits = _pack_bits(*_val_fields(values))
-    stream = np.concatenate([ts_bits, val_bits])
-    payload = np.packbits(stream).tobytes() if len(stream) else b""
-    head = _HEADER.pack(len(ts_ms), len(ts_bits), int(ts_ms[0]), int(first_val_bits))
+        tv, tb = _ts_fields(ts_ms)
+        vv, vb = _val_fields(values)
+        payload = _pack_fields(
+            np.concatenate([tv, vv]), np.concatenate([tb, vb])
+        )
+        n_ts_bits = int(tb.sum())
+    head = _HEADER.pack(len(ts_ms), n_ts_bits, int(ts_ms[0]), int(first_val_bits))
     body = head + payload
     return body + struct.pack("<I", zlib.crc32(body))
 
@@ -241,6 +273,137 @@ def decode_chunk(chunk: bytes) -> tuple[np.ndarray, np.ndarray]:
     return ts, vals_u.view(np.float64)
 
 
+# ------------------------------------------------------- batched encoder
+
+
+def encode_chunks_batched(
+    ts_ms: np.ndarray, values: np.ndarray, group_ids: np.ndarray
+) -> list[bytes]:
+    """Encode MANY chunks in one vectorized pass.
+
+    `group_ids` must be 0..G-1, non-decreasing, with ts ascending within
+    each group (the caller sorts). Produces byte-identical chunks to
+    :func:`encode_chunk` (golden-tested) but amortizes every numpy op
+    across the whole batch: the per-group Python work is one buffer
+    slice + one crc32, ~3 µs -- two orders of magnitude faster than
+    per-group encode for the small groups a 1m/1h bucket produces.
+    """
+    n = len(ts_ms)
+    if n == 0:
+        return []
+    ts_ms = np.asarray(ts_ms, dtype=np.int64)
+    values = np.asarray(values, dtype=np.float64)
+    group_ids = np.asarray(group_ids, dtype=np.int64)
+    n_groups = int(group_ids[-1]) + 1
+    first_mask = np.empty(n, dtype=bool)
+    first_mask[0] = True
+    np.not_equal(group_ids[1:], group_ids[:-1], out=first_mask[1:])
+    firsts = np.flatnonzero(first_mask)
+    counts = np.diff(np.append(firsts, n))
+
+    m = ~first_mask  # samples that encode into the streams
+    # --- timestamp dod over the flat arrays, segment-aware
+    delta = np.zeros(n, dtype=np.int64)
+    delta[1:] = ts_ms[1:] - ts_ms[:-1]
+    delta[first_mask] = 0
+    if (delta < 0).any():
+        raise ValueError("timestamps must be ascending within groups")
+    prev_delta = np.zeros(n, dtype=np.int64)
+    prev_delta[1:] = delta[:-1]
+    # second sample of each group: prev_delta = 0 (stream restart)
+    second = np.zeros(n, dtype=bool)
+    second[1:] = first_mask[:-1]
+    prev_delta[second] = 0
+    dod = delta - prev_delta
+
+    ctrl_val = np.zeros(n, dtype=np.uint64)
+    ctrl_bits = np.where(m, 1, 0).astype(np.int64)
+    pay_val = np.zeros(n, dtype=np.uint64)
+    pay_bits = np.zeros(n, dtype=np.int64)
+    remaining = m & (dod != 0)
+    for lo, hi, pbits, pval, wbits in _DOD_CLASSES:
+        sel = remaining & (dod >= lo) & (dod <= hi)
+        ctrl_val[sel], ctrl_bits[sel] = pval, pbits
+        pay_val[sel] = (dod[sel] - lo).astype(np.uint64)
+        pay_bits[sel] = wbits
+        remaining &= ~sel
+    if remaining.any():
+        pbits, pval, wbits = _DOD_WIDE
+        ctrl_val[remaining], ctrl_bits[remaining] = pval, pbits
+        pay_val[remaining] = dod[remaining].astype(np.uint64)
+        pay_bits[remaining] = wbits
+
+    # --- value xor, segment-aware
+    bits64 = values.view(np.uint64)
+    xor = np.zeros(n, dtype=np.uint64)
+    xor[1:] = bits64[1:] ^ bits64[:-1]
+    xor[first_mask] = 0
+    nz = m & (xor != 0)
+    lz = np.zeros(n, dtype=np.int64)
+    tz = np.zeros(n, dtype=np.int64)
+    if nz.any():
+        lz[nz] = 64 - _bit_length(xor[nz])
+        tz[nz] = _trailing_zeros(xor[nz])
+    mlen = np.where(nz, 64 - lz - tz, 0)
+    hdr_val = np.where(
+        nz,
+        (np.uint64(1) << np.uint64(12))
+        | (lz.astype(np.uint64) << np.uint64(6))
+        | (mlen - 1).clip(0).astype(np.uint64),
+        np.uint64(0),
+    ).astype(np.uint64)
+    hdr_bits = np.where(m, np.where(nz, 13, 1), 0).astype(np.int64)
+    man_val = np.zeros(n, dtype=np.uint64)
+    man_val[nz] = xor[nz] >> tz[nz].astype(np.uint64)
+    man_bits = np.where(nz, mlen, 0).astype(np.int64)
+
+    # --- per-group stream bit lengths (before padding)
+    ts_bits_g = np.bincount(group_ids, weights=ctrl_bits + pay_bits,
+                            minlength=n_groups).astype(np.int64)
+    val_bits_g = np.bincount(group_ids, weights=hdr_bits + man_bits,
+                             minlength=n_groups).astype(np.int64)
+    total_g = ts_bits_g + val_bits_g
+    pad_g = (8 - (total_g % 8)) % 8
+
+    # --- global field ordering: per group [ts fields][val fields][pad],
+    # placed analytically (no sort): samples are contiguous per group, so
+    # each sample's field slots follow from its rank within the group
+    n_fields = 4 * n + n_groups
+    group_starts = firsts  # sample index of each group's first row
+    base = np.concatenate([[0], np.cumsum(4 * counts + 1)[:-1]])  # field base/group
+    rank = np.arange(n) - np.repeat(group_starts, counts)  # in-group sample rank
+    gbase = np.repeat(base, counts)
+    gcnt = np.repeat(counts, counts)
+    ts_slot = gbase + 2 * rank  # ctrl at +0, pay at +1
+    val_slot = gbase + 2 * gcnt + 2 * rank  # hdr at +0, man at +1
+    pad_slot = base + 4 * counts
+
+    f_vals = np.empty(n_fields, dtype=np.uint64)
+    f_bits = np.empty(n_fields, dtype=np.int64)
+    f_vals[ts_slot], f_bits[ts_slot] = ctrl_val, ctrl_bits
+    f_vals[ts_slot + 1], f_bits[ts_slot + 1] = pay_val, pay_bits
+    f_vals[val_slot], f_bits[val_slot] = hdr_val, hdr_bits
+    f_vals[val_slot + 1], f_bits[val_slot + 1] = man_val, man_bits
+    f_vals[pad_slot], f_bits[pad_slot] = 0, pad_g
+
+    payload = _pack_fields(f_vals, f_bits)
+
+    # --- slice per group + headers + crc (cheap Python per group)
+    bytes_g = ((total_g + pad_g) // 8).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(bytes_g)[:-1]])
+    first_ts = ts_ms[firsts]
+    first_vb = bits64[firsts]
+    out: list[bytes] = []
+    pack = _HEADER.pack
+    crc = zlib.crc32
+    for g in range(n_groups):
+        body = pack(
+            int(counts[g]), int(ts_bits_g[g]), int(first_ts[g]), int(first_vb[g])
+        ) + payload[offsets[g] : offsets[g] + bytes_g[g]]
+        out.append(body + struct.pack("<I", crc(body)))
+    return out
+
+
 # ------------------------------------------------------------- Spark layer
 
 CHUNK_SCHEMA_SUFFIX = (
@@ -292,10 +455,114 @@ def make_decode_udf(series_cols: list[str]):
     return decode
 
 
-def encode_tier_chunks(df, series_cols: list[str], tier, value_col="value", ts_col="ts"):
+def _group_change_mask(pdf, key_cols: list[str]) -> np.ndarray:
+    """Null-safe group-boundary detection over sorted rows."""
+    import pandas as pd
+
+    n = len(pdf)
+    change = np.zeros(n, dtype=bool)
+    if n == 0:
+        return change
+    change[0] = True
+    for c in key_cols:
+        col = pdf[c].to_numpy()
+        neq = col[1:] != col[:-1]
+        both_na = pd.isna(col[1:]) & pd.isna(col[:-1])
+        change[1:] |= np.asarray(neq & ~both_na, dtype=bool)
+    return change
+
+
+def make_batched_encode_udf(series_cols: list[str]):
+    """mapInPandas kernel over rows pre-clustered by repartition(keys) and
+    sorted by (keys, ts_ms): encodes every complete group in the batch
+    via encode_chunks_batched, carrying the trailing (possibly
+    incomplete) group into the next batch. Groups never span partitions
+    (hash clustering), so the final carry per partition is complete."""
+    import pandas as pd
+
+    key_cols = [*series_cols, "bucket_ms"]
+
+    def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        change = _group_change_mask(pdf, key_cols)
+        codes = np.cumsum(change) - 1
+        ts = pdf["ts_ms"].to_numpy(np.int64)
+        vals = pdf["value"].to_numpy(np.float64)
+        chunks = encode_chunks_batched(ts, vals, codes)
+        firsts = np.flatnonzero(change)
+        counts = np.diff(np.append(firsts, len(pdf)))
+        head = pdf.iloc[firsts]
+        out = {c: head[c].to_numpy() for c in series_cols}
+        out["bucket_ms"] = head["bucket_ms"].to_numpy(np.int64)
+        out["cnt"] = counts.astype(np.int64)
+        out["t_min_ms"] = ts[firsts]
+        out["t_max_ms"] = ts[firsts + counts - 1]
+        out["chunk"] = chunks
+        return pd.DataFrame(out)
+
+    def encode(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            change = _group_change_mask(pdf, key_cols)
+            codes = np.cumsum(change) - 1
+            last_start = int(np.flatnonzero(change)[-1])
+            carry = pdf.iloc[last_start:]
+            done = pdf.iloc[:last_start]
+            if len(done):
+                yield _emit(done)
+        if carry is not None and len(carry):
+            yield _emit(carry)
+
+    return encode
+
+
+def encode_tier_chunks(
+    df, series_cols: list[str], tier, value_col="value", ts_col="ts",
+    num_partitions: int | None = None,
+):
     """Raw samples -> chunked tier table: per (series, bucket) one row
-    with the compressed chunk. The groupBy key includes the time bucket,
-    which bounds group size (the skew note in operators/skew.py)."""
+    with the compressed chunk.
+
+    Physical plan: hash repartition on (series, bucket) -- groups
+    co-located, the groupBy-free analog of the copy shuffle -- then
+    sortWithinPartitions to cluster + time-order groups, then ONE
+    mapInPandas pass that batch-encodes every group (two orders of
+    magnitude less per-group Python than applyInPandas at 1m/1h bucket
+    sizes). The bucket in the key bounds group size (skew note,
+    operators/skew.py)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.windows import TIER_MS, bucket_ms_col, unix_ms
+
+    tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
+    prepared = df.select(
+        *series_cols,
+        bucket_ms_col(F.col(ts_col), tier_ms).alias("bucket_ms"),
+        unix_ms(F.col(ts_col)).alias("ts_ms"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    keys = [*series_cols, "bucket_ms"]
+    if num_partitions:
+        prepared = prepared.repartition(num_partitions, *keys)
+    else:
+        prepared = prepared.repartition(*keys)
+    prepared = prepared.sortWithinPartitions(*keys, "ts_ms")
+    series_schema = ", ".join(
+        f"{c} {t}" for c, t in prepared.select(*series_cols).dtypes
+    )
+    out_schema = f"{series_schema}, {CHUNK_SCHEMA_SUFFIX}"
+    return prepared.mapInPandas(make_batched_encode_udf(series_cols), schema=out_schema)
+
+
+def encode_tier_chunks_grouped(
+    df, series_cols: list[str], tier, value_col="value", ts_col="ts"
+):
+    """Reference implementation: one applyInPandas call per (series,
+    bucket) group -- simple, but pays ~1 ms of Python per group; kept for
+    equivalence testing against the batched path."""
     from pyspark.sql import functions as F
 
     from ..operators.windows import TIER_MS, bucket_ms_col, unix_ms

@@ -117,14 +117,25 @@ def jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("a"), "hm")
     b = sh.select(F.col(id_col).alias("b"), "hm")
-    inter = (
-        a.join(b, "hm")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, on=["a", "b"], how="left_semi")
+        # candidate-first: only candidate pairs' shingle sets ever meet.
+        # Joining a's shingles to the (small) candidate list FIRST keeps
+        # the expensive hm-join linear in |candidates|x|shingles/doc|
+        # instead of quadratic in co-shingled pairs -- at corpus scale
+        # the all-pairs intersection is exactly what LSH exists to avoid
+        inter = (
+            candidates.join(a, on="a")
+            .join(b, on=["b", "hm"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "hm")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
     na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("n_b"))
     out = (

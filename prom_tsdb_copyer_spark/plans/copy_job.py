@@ -87,6 +87,60 @@ def _appended_names(job: CopyJob) -> list[str]:
     return [p.split("=", 1)[0] for p in job.label_append]
 
 
+def run_and_write_rollups(
+    spark,
+    df: DataFrame,
+    job: CopyJob,
+    out_root: str,
+    mode: str = "overwrite",
+    range_ms: tuple[int, int] | None = None,
+) -> dict[str, int]:
+    """Materialized cascade: write the finest tier, then derive each
+    coarser tier from the tier just WRITTEN (read back), never from raw.
+
+    Without this, writing three tiers from one lazy cascade re-executes
+    the raw scan+shuffle once per tier (lineage recompute) -- measured 3x
+    wall on the bench. Reading back the finished tier also makes the
+    cascade restartable mid-way and is how continuous-aggregate systems
+    maintain coarser tiers.
+
+    `range_ms` (window-sliced runs): each coarser level reads back only
+    the buckets overlapping the window, WIDENED to its own bucket
+    alignment -- a 1d bucket spanning several windows is recomputed from
+    all of its already-written 1h partials, so per-window cost stays
+    O(window), not O(table). Returns {tier: rows written}."""
+    import os
+
+    from ..operators.rollup import reaggregate
+    from ..operators.rollup import rollup as _rollup
+    from ..operators.windows import TIER_MS
+    from ..sources.tables import write_tier
+
+    series = [c for c in job.series_cols if c in df.columns] + [
+        c for c in _appended_names(job) if c not in job.series_cols
+    ]
+    filtered = filtered_samples(df, job)
+
+    rows: dict[str, int] = {}
+    prev_path = None
+    for i, tier in enumerate(job.tiers):
+        if i == 0:
+            tier_df = _rollup(filtered, series, job.value_col, tier, job.ts_col)
+        else:
+            prev = spark.read.parquet(prev_path).drop("part_day")
+            if range_ms is not None:
+                tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
+                lo = (range_ms[0] // tier_ms) * tier_ms
+                hi = ((range_ms[1] // tier_ms) + 1) * tier_ms - 1
+                prev = prev.where(F.col("bucket_ms").between(lo, hi))
+            tier_df = reaggregate(prev, series, tier)
+        path = os.path.join(out_root, f"tier={tier}")
+        write_tier(tier_df, path, mode=mode)
+        rows[tier] = spark.read.parquet(path).count()
+        prev_path = path
+    return rows
+
+
 def sliced_rollup(
     df: DataFrame,
     job: CopyJob,

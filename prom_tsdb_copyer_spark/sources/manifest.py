@@ -108,10 +108,12 @@ class ResumableRollup:
         self.source_path = source_path
 
     def run(self, df: DataFrame, from_ms: int, to_ms: int, fail_at: int | None = None):
-        from ..plans.copy_job import run_rollups
-        from ..operators.windows import in_time_range
-        from ..sources.tables import write_tier
         from pyspark.sql import functions as F
+
+        from ..operators.windows import in_time_range
+        from ..plans.copy_job import run_and_write_rollups
+
+        spark = df.sparkSession
 
         fp = source_fingerprint(self.source_path) if self.source_path else ""
         manifest = read_manifest(self.out_root)
@@ -128,13 +130,19 @@ class ResumableRollup:
             sliced = df.where(
                 in_time_range(F.col(self.job.ts_col), w.start_ms, w.end_ms)
             )
-            tiers = run_rollups(sliced, self.job)
-            rows_out = {}
             rows_in = sliced.count()
-            for tier, tdf in tiers.items():
+            run_and_write_rollups(
+                spark, sliced, self.job, self.out_root,
+                range_ms=(w.start_ms, w.end_ms),
+            )
+            rows_out = {}
+            for tier in self.job.tiers:
                 path = os.path.join(self.out_root, f"tier={tier}")
-                write_tier(tdf, path, mode="overwrite")
-                rows_out[tier] = tdf.count()
+                rows_out[tier] = (
+                    spark.read.parquet(path)
+                    .where(F.col("bucket_ms").between(w.start_ms, w.end_ms))
+                    .count()
+                )
             write_entry(
                 self.out_root,
                 WindowEntry(

@@ -70,9 +70,21 @@ def write_tier(
     reference, main.go:122). Dynamic partition overwrite so re-running a
     time range replaces exactly the affected partitions (the reference's
     re-copy model)."""
-    writer = df.withColumn(
+    out = df.withColumn(
         "part_day", F.to_date(F.timestamp_millis(F.col("bucket_ms")))
-    ).write.option("partitionOverwriteMode", "dynamic")
+    )
     if partition_by_day:
-        writer = writer.partitionBy("part_day")
-    writer.mode(mode).parquet(path)
+        # cluster rows by their target partition before the partitioned
+        # write: otherwise every shuffle partition opens a file in every
+        # day dir (days x partitions tiny files -- measured 5k files for
+        # 256MB and ~2/3 of write wall time). One shuffle of the already-
+        # aggregated tier is far cheaper; at 100TB scale swap for
+        # repartitionByRange(part_day, bucket_ms) sized to target file
+        # size, same idea.
+        out = out.repartition(F.col("part_day")).sortWithinPartitions(
+            "part_day", "bucket_ms"
+        )
+        (out.write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("part_day").mode(mode).parquet(path))
+    else:
+        out.write.option("partitionOverwriteMode", "dynamic").mode(mode).parquet(path)

@@ -1,0 +1,64 @@
+"""CLI surface (reference main.go flag parity): duration/time parsing
+quirks and an end-to-end run through a subprocess-free invocation.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from prom_tsdb_copyer_spark.cli import parse_duration_ms, parse_time_ms
+
+
+def test_durations():
+    assert parse_duration_ms("24h") == 86400000
+    assert parse_duration_ms("2h30m") == 9000000
+    assert parse_duration_ms("15s") == 15000
+    assert parse_duration_ms("500ms") == 500
+    assert parse_duration_ms("1d") == 86400000
+    assert parse_duration_ms("0") == 0
+    with pytest.raises(ValueError):
+        parse_duration_ms("nope")
+
+
+def test_time_parse_layouts():
+    # zone-full strings are absolute
+    assert parse_time_ms("2026-01-01 00:00:00+0000") == 1767225600000
+    assert parse_time_ms("2026-01-01 00:00:00.500+0000") == 1767225600500
+    # zone-less strings parse in local tz (reference tryParseTimeWithZone)
+    import time
+
+    lt = parse_time_ms("2026-01-01 00:00:00")
+    assert isinstance(lt, int)
+    with pytest.raises(ValueError):
+        parse_time_ms("01/01/2026")
+
+
+def test_cli_end_to_end(spark, transcripts, tmp_path, capsys, monkeypatch):
+    src = str(tmp_path / "src")
+    transcripts.write.parquet(src)
+    target = str(tmp_path / "tiers")
+
+    from prom_tsdb_copyer_spark import cli
+
+    rc = cli.main(
+        [
+            "--source", src,
+            "--target", target,
+            "-l", "role=~(user|assistant)",
+            "-T", "env=prod",
+            "-B", "24h",
+            "--tiers", "1m,1h",
+            "--show-metrics",
+        ]
+    )
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["windows_total"] >= 1
+    assert metrics["rows_out_total"]["1m"] > 0
+    back = spark.read.parquet(f"{target}/tier=1m")
+    assert back.where("env != 'prod'").count() == 0
+    assert set(r["role"] for r in back.select("role").distinct().collect()) <= {
+        "user", "assistant"
+    }

@@ -113,10 +113,11 @@ def q_flagship_copy(spark, sf_dir):
     """Entry point 2 (SURVEY.md §3): time filter + matcher + 1m rollup --
     the reference's scan->filter->group->encode pipeline, minus the codec
     (see gorilla_roundtrip for the codec leg)."""
-    from prom_tsdb_copyer_spark.operators.windows import in_time_range
+    from prom_tsdb_copyer_spark.operators.windows import time_range_pred
 
     from_ms, to_ms = 1704067200000, 1704672000000 - 1  # first week of 2024
-    df = _events(spark, sf_dir).where(in_time_range(F.col("ts"), from_ms, to_ms))
+    ev = _events(spark, sf_dir)
+    df = ev.where(time_range_pred(ev, "ts", from_ms, to_ms))
     df = df.where(matchers_predicate(["event_type!~(er).*"], _event_labels()))
     return _round_sums(rollup(df, SERIES, "value", "1m"))
 

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from ..matchers import matchers_predicate, transcript_labels
 from ..operators.relabel import label_append
 from ..operators.rollup import cascade
-from ..operators.windows import in_time_range
+from ..operators.windows import in_time_range, time_range_pred
 
 TRANSCRIPT_SERIES = ["conv_id", "role", "tool"]
 
@@ -60,7 +60,7 @@ class CopyJob:
 def filtered_samples(df: DataFrame, job: CopyJob) -> DataFrame:
     """scan -> time filter (F10) -> matcher filter (F1-F9) -> relabel (F11)."""
     if job.from_ms is not None and job.to_ms is not None:
-        df = df.where(in_time_range(F.col(job.ts_col), job.from_ms, job.to_ms))
+        df = df.where(time_range_pred(df, job.ts_col, job.from_ms, job.to_ms))
     labels = job.labels
     if labels is None:
         labels = transcript_labels(job.metric_name)

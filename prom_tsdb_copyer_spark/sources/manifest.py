@@ -110,7 +110,7 @@ class ResumableRollup:
     def run(self, df: DataFrame, from_ms: int, to_ms: int, fail_at: int | None = None):
         from pyspark.sql import functions as F
 
-        from ..operators.windows import in_time_range
+        from ..operators.windows import time_range_pred
         from ..plans.copy_job import run_and_write_rollups
 
         spark = df.sparkSession
@@ -128,7 +128,7 @@ class ResumableRollup:
                 raise RuntimeError(f"injected failure before window {w.start_ms}")
             t0 = time.monotonic()
             sliced = df.where(
-                in_time_range(F.col(self.job.ts_col), w.start_ms, w.end_ms)
+                time_range_pred(df, self.job.ts_col, w.start_ms, w.end_ms)
             )
             rows_in = sliced.count()
             run_and_write_rollups(

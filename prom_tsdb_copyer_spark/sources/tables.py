@@ -48,15 +48,23 @@ def time_extent(df: DataFrame, ts_col: str = "ts") -> tuple[int, int]:
     answers it from footer min/max stats. The reference adds +1ms slack by
     treating the library's exclusive block MaxTime as inclusive -- we
     return the true inclusive extent and document the divergence."""
-    from ..operators.windows import unix_ms
+    import datetime as _dt
 
+    # aggregate the RAW column: min/max over an untransformed column is
+    # answerable from parquet footer statistics (no full scan); the
+    # ms conversion happens driver-side on two scalars
     row = df.agg(
-        F.min(unix_ms(F.col(ts_col))).alias("lo"),
-        F.max(unix_ms(F.col(ts_col))).alias("hi"),
+        F.min(F.col(ts_col)).alias("lo"), F.max(F.col(ts_col)).alias("hi")
     ).first()
     if row is None or row["lo"] is None:
         raise ValueError("empty table: no time extent")
-    return int(row["lo"]), int(row["hi"])
+
+    def _ms(dt: _dt.datetime) -> int:
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=_dt.timezone.utc)
+        return int(dt.timestamp() * 1000)
+
+    return _ms(row["lo"]), _ms(row["hi"])
 
 
 def write_tier(

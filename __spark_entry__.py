@@ -180,6 +180,25 @@ def q_chunk_stats(spark, sf_dir):
     return chunks.select(*SERIES, "bucket_ms", "cnt", "t_min_ms", "t_max_ms")
 
 
+def q_chunk_downsample_1d(spark, sf_dir):
+    """§2.10 + A6: downsample FROM chunks -- decode the 1h chunk tier and
+    re-roll to 1d, proving the codec output is a first-class input (the
+    reference's copy-from-block path, copyer.go:89,108-135). Oracle =
+    direct 1d rollup from raw; equality means encode->decode->reagg is
+    lossless end-to-end."""
+    from prom_tsdb_copyer_spark.functions.gorilla import (
+        decode_tier_chunks,
+        encode_tier_chunks,
+    )
+    from prom_tsdb_copyer_spark.operators.rollup import rollup
+
+    chunks = encode_tier_chunks(_events(spark, sf_dir), SERIES, "1h")
+    points = decode_tier_chunks(chunks, SERIES).withColumn(
+        "ts", F.timestamp_millis(F.col("ts_ms"))
+    )
+    return _round_sums(rollup(points, SERIES, "value", "1d"))
+
+
 def q_topk_series(spark, sf_dir):
     """§2.6 extension: deterministic top-10 series by sample count
     (tie-broken on the series key)."""
@@ -333,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "chunk_stats": q_chunk_stats,
+        "chunk_downsample_1d": q_chunk_downsample_1d,
         "topk_series": q_topk_series,
         "agg_q1": q_agg_q1,
         "dedup_exact": q_dedup_exact,
@@ -612,6 +632,21 @@ def _core_oracles() -> dict[str, str]:
                    count(*) AS cnt,
                    min(epoch_ms(ts)) AS t_min_ms,
                    max(epoch_ms(ts)) AS t_max_ms
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "chunk_downsample_1d": f"""
+            -- direct 1d rollup from raw, at ms precision (the chunk
+            -- format stores int64 ms, so decoded points are ms-truncated)
+            SELECT user_id, event_type,
+                   (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms,
+                   count(value) AS cnt,
+                   round(sum(value), 3) AS sum_val,
+                   min(value) AS min_val,
+                   max(value) AS max_val,
+                   arg_min(value, epoch_ms(ts)) AS first_val,
+                   arg_max(value, epoch_ms(ts)) AS last_val,
+                   min(epoch_ms(ts)) * 1000 AS first_ord,
+                   max(epoch_ms(ts)) * 1000 AS last_ord
             FROM events GROUP BY 1, 2, 3
         """,
         "topk_series": """

@@ -1,0 +1,59 @@
+"""Skew handling (SURVEY.md §4 P11): hot-key sketch, deterministic
+salting, and the partial-aggregation guarantee that makes the rollup
+shuffle skew-proof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prom_tsdb_copyer_spark.operators.rollup import rollup
+from prom_tsdb_copyer_spark.operators.skew import (
+    hot_keys,
+    repartition_for_series,
+    salt_col,
+)
+
+SERIES = ["conv_id", "role", "tool"]
+
+
+def test_hot_key_sketch_finds_zipf_head(spark, transcripts):
+    """The zipf fixture has a few conversations with far more turns than
+    the median -- the sketch must surface them."""
+    counts = transcripts.groupBy("conv_id").count().collect()
+    sizes = sorted((r["count"] for r in counts), reverse=True)
+    threshold = max(10, sizes[len(sizes) // 2] * 3)
+    hot = {r["conv_id"] for r in hot_keys(transcripts, ["conv_id"], threshold).collect()}
+    expected = {r["conv_id"] for r in counts if r["count"] > threshold}
+    assert hot == expected
+    assert hot, "zipf fixture should produce at least one hot conversation"
+
+
+def test_salt_deterministic_across_evaluations(spark, transcripts):
+    df = transcripts.withColumn(
+        "s", salt_col([F.col("conv_id"), F.col("role")], 16)
+    )
+    a = df.select("conv_id", "turn_idx", "s").toPandas()
+    b = df.select("conv_id", "turn_idx", "s").toPandas()
+    key = ["conv_id", "turn_idx"]
+    assert a.sort_values(key)["s"].tolist() == b.sort_values(key)["s"].tolist()
+    assert 0 <= a["s"].min() and a["s"].max() < 16
+
+
+def test_salted_repartition_preserves_rollup(spark, transcripts):
+    """Salting is physical only: rolling up the salted layout gives
+    byte-identical tier points."""
+    from prom_tsdb_copyer_spark.operators.windows import HOUR_MS, bucket_ms_col
+
+    salted = repartition_for_series(
+        transcripts.withColumn("bucket_ms", bucket_ms_col(F.col("ts"), HOUR_MS)),
+        SERIES, "bucket_ms", 16, salt_buckets=4,
+    ).drop("bucket_ms", "_salt")
+    a = rollup(transcripts, SERIES, "value", "1h").toPandas()
+    b = rollup(salted, SERIES, "value", "1h").toPandas()
+    key = SERIES + ["bucket_ms"]
+    a = a.fillna({"tool": "<null>"}).sort_values(key).reset_index(drop=True)
+    b = b.fillna({"tool": "<null>"}).sort_values(key).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

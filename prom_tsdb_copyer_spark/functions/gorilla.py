@@ -273,6 +273,137 @@ def decode_chunk(chunk: bytes) -> tuple[np.ndarray, np.ndarray]:
     return ts, vals_u.view(np.float64)
 
 
+# ------------------------------------------------------- batched decoder
+
+
+def _gather64(payload: np.ndarray, stride: int, bit_off: np.ndarray,
+              rows: np.ndarray) -> np.ndarray:
+    """For each row r in `rows`, the 64 bits starting at bit_off[r] of
+    payload row r (payload is a C x stride uint8 matrix, padded so any
+    in-range read of 16 bytes is safe). Vectorized: two big-endian u64
+    gathers + shift-combine."""
+    byte0 = (bit_off[rows] >> 3).astype(np.int64)
+    r = (bit_off[rows] & 7).astype(np.uint64)
+    base = rows * stride + byte0
+    flat = payload.reshape(-1)
+    # gather 16 bytes as two big-endian uint64s
+    idx = base[:, None] + np.arange(16)
+    b = flat[idx]
+    h = b[:, :8].astype(np.uint64)
+    l = b[:, 8:].astype(np.uint64)
+    shifts = np.arange(56, -8, -8, dtype=np.uint64)
+    hi = (h << shifts).sum(axis=1, dtype=np.uint64)
+    lo = (l << shifts).sum(axis=1, dtype=np.uint64)
+    out = np.where(r == 0, hi, (hi << r) | (lo >> (np.uint64(64) - r)))
+    return out.astype(np.uint64)
+
+
+def decode_chunks_batched(chunks: list[bytes]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode many chunks at once -> (ts_ms, values, chunk_row_index).
+
+    Transposed vectorization: iterate the per-chunk SAMPLE INDEX (bounded
+    by the bucket's max samples), with every step vectorized across all
+    chunks still active -- the decode twin of encode_chunks_batched.
+    CRCs are validated per chunk (cheap C calls)."""
+    C = len(chunks)
+    if C == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.float64), np.empty(0, np.int64))
+    heads = np.frombuffer(b"".join(c[: _HEADER.size] for c in chunks), dtype=np.uint8)
+    heads = heads.reshape(C, _HEADER.size)
+    counts = heads[:, 0:4].copy().view("<u4").reshape(C).astype(np.int64)
+    ts_bits = heads[:, 4:8].copy().view("<u4").reshape(C).astype(np.int64)
+    first_ts = heads[:, 8:16].copy().view("<i8").reshape(C)
+    first_vb = heads[:, 16:24].copy().view("<u8").reshape(C)
+    for c in chunks:
+        body, (crc,) = c[:-4], struct.unpack("<I", c[-4:])
+        if zlib.crc32(body) != crc:
+            raise ValueError("chunk checksum mismatch")
+
+    stride = max(len(c) - _HEADER.size - 4 for c in chunks) + 16
+    payload = np.zeros((C, stride), dtype=np.uint8)
+    for i, c in enumerate(chunks):
+        body = c[_HEADER.size : -4]
+        payload[i, : len(body)] = np.frombuffer(body, dtype=np.uint8)
+
+    max_n = int(counts.max())
+    ts_out = np.zeros((C, max_n), dtype=np.int64)
+    val_out = np.zeros((C, max_n), dtype=np.uint64)
+    ts_out[:, 0] = first_ts
+    val_out[:, 0] = first_vb
+
+    u = np.uint64
+    # ---- timestamp stream
+    off = np.zeros(C, dtype=np.int64)
+    delta = np.zeros(C, dtype=np.int64)
+    t = first_ts.copy()
+    for i in range(1, max_n):
+        rows = np.flatnonzero(counts > i)
+        w = _gather64(payload, stride, off, rows)
+        # count leading ones (max 5) of the control prefix
+        ones = np.zeros(len(rows), dtype=np.int64)
+        still = np.ones(len(rows), dtype=bool)
+        for k in range(5):
+            bit = ((w >> u(63 - k)) & u(1)) == 1
+            take = still & bit
+            ones += take
+            still &= bit
+        ctrl_bits = np.where(ones == 5, 5, ones + 1)
+        dod = np.zeros(len(rows), dtype=np.int64)
+        nz = ones > 0
+        pay_w = np.zeros(len(rows), dtype=np.int64)
+        lo_add = np.zeros(len(rows), dtype=np.int64)
+        for cls_i, (lo_v, _hi, _pb, _pv, wbits) in enumerate(_DOD_CLASSES):
+            m_ = ones == cls_i + 1
+            pay_w[m_] = wbits
+            lo_add[m_] = lo_v
+        wide = ones == 5
+        pay_w[wide] = 64
+        off[rows] += ctrl_bits
+        has_pay = pay_w > 0
+        pr = rows[has_pay]
+        if len(pr):
+            pw = _gather64(payload, stride, off, pr)
+            width = pay_w[has_pay].astype(np.uint64)
+            raw = pw >> (u(64) - width)
+            signed = raw.astype(np.int64) + lo_add[has_pay]
+            # 64-bit wide class: raw IS the two's-complement dod
+            wide_sel = wide[has_pay]
+            signed[wide_sel] = raw[wide_sel].astype(np.int64)
+            dod[has_pay] = signed
+            off[pr] += pay_w[has_pay]
+        delta[rows] += dod
+        t[rows] += delta[rows]
+        ts_out[rows, i] = t[rows]
+    if not np.array_equal(off[counts > 1], ts_bits[counts > 1]):
+        raise ValueError("timestamp stream length mismatch")
+
+    # ---- value stream
+    off = ts_bits.copy()
+    prev = first_vb.copy()
+    for i in range(1, max_n):
+        rows = np.flatnonzero(counts > i)
+        w = _gather64(payload, stride, off, rows)
+        ctrl = (w >> u(63)) == 1
+        off[rows] += 1
+        pr = rows[ctrl]
+        if len(pr):
+            # 6b leading zeros + 6b (mlen-1) follow the control bit
+            hdr = (w[ctrl] << u(1))
+            lz = (hdr >> u(58)).astype(np.int64)
+            mlen = ((hdr >> u(52)) & u(63)).astype(np.int64) + 1
+            off[pr] += 12
+            mw = _gather64(payload, stride, off, pr)
+            mant = mw >> (u(64) - mlen.astype(np.uint64))
+            tz = (64 - lz - mlen).astype(np.uint64)
+            prev[pr] ^= mant << tz
+            off[pr] += mlen
+        val_out[rows, i] = prev[rows]
+
+    mask = np.arange(max_n) < counts[:, None]
+    row_idx = np.repeat(np.arange(C, dtype=np.int64), counts)
+    return ts_out[mask], val_out[mask].view(np.float64), row_idx
+
+
 # ------------------------------------------------------- batched encoder
 
 
@@ -437,20 +568,22 @@ def make_encode_udf(series_cols: list[str]):
 
 def make_decode_udf(series_cols: list[str]):
     """mapInPandas fn exploding chunk rows back into (series, ts_ms,
-    value) points (the chunkenc.Iterator analog, copyer.go:108-135)."""
+    value) points (the chunkenc.Iterator analog, copyer.go:108-135).
+    Uses the transposed batch decoder: one vectorized pass per Arrow
+    batch, series columns replicated via np.repeat."""
     import pandas as pd
 
     def decode(batches):
         for pdf in batches:
-            frames = []
-            for _, row in pdf.iterrows():
-                ts, vals = decode_chunk(row["chunk"])
-                d = {c: row[c] for c in series_cols}
-                frames.append(
-                    pd.DataFrame({**d, "ts_ms": ts, "value": vals})
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            if not len(pdf):
+                continue
+            ts, vals, row_idx = decode_chunks_batched(list(pdf["chunk"]))
+            out = {
+                c: pdf[c].to_numpy()[row_idx] for c in series_cols
+            }
+            out["ts_ms"] = ts
+            out["value"] = vals
+            yield pd.DataFrame(out)
 
     return decode
 

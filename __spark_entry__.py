@@ -199,6 +199,16 @@ def q_chunk_downsample_1d(spark, sf_dir):
     return _round_sums(rollup(points, SERIES, "value", "1d"))
 
 
+def q_sessionize(spark, sf_dir):
+    """Training-data extension: inactivity-gap sessionization (lag +
+    boundary cumsum, one shuffle) -> per-session stats."""
+    from prom_tsdb_copyer_spark.operators.sessionize import session_stats
+
+    return session_stats(
+        _events(spark, sf_dir), SERIES, gap_ms=HOUR_MS
+    )
+
+
 def q_topk_series(spark, sf_dir):
     """§2.6 extension: deterministic top-10 series by sample count
     (tie-broken on the series key)."""
@@ -353,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "chunk_stats": q_chunk_stats,
         "chunk_downsample_1d": q_chunk_downsample_1d,
+        "sessionize": q_sessionize,
         "topk_series": q_topk_series,
         "agg_q1": q_agg_q1,
         "dedup_exact": q_dedup_exact,
@@ -514,7 +525,9 @@ def _pipeline_oracles() -> dict[str, str]:
         "text_tokens": f"""
             SELECT doc_id, length(text) AS n_chars,
                    len({tokens_expr}) AS n_tokens,
-                   len(list_distinct({tokens_expr})) AS n_distinct_tokens
+                   len(list_distinct({tokens_expr})) AS n_distinct_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+                     AS n_subword_tokens
             FROM documents
         """,
         "text_quality": f"""
@@ -537,10 +550,13 @@ def _pipeline_oracles() -> dict[str, str]:
         "text_langid": f"""
             WITH s AS (
               SELECT doc_id, {stop_hits('en')} AS en, {stop_hits('de')} AS de,
-                     {stop_hits('fr')} AS fr
+                     {stop_hits('fr')} AS fr,
+                     (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')))
+                       / greatest(length(text), 1) AS cjk
               FROM documents)
             SELECT doc_id,
-                   CASE WHEN greatest(en, de, fr) = 0 THEN 'unk'
+                   CASE WHEN cjk > 0.3 THEN 'zh'
+                        WHEN greatest(en, de, fr) = 0 THEN 'unk'
                         WHEN en = greatest(en, de, fr) THEN 'en'
                         WHEN de = greatest(en, de, fr) THEN 'de'
                         ELSE 'fr' END AS lang_pred
@@ -648,6 +664,25 @@ def _core_oracles() -> dict[str, str]:
                    min(epoch_ms(ts)) * 1000 AS first_ord,
                    max(epoch_ms(ts)) * 1000 AS last_ord
             FROM events GROUP BY 1, 2, 3
+        """,
+        "sessionize": f"""
+            WITH s AS (
+              SELECT user_id, event_type, value, epoch_ms(ts) AS t,
+                     CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                            OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {HOUR_MS}
+                          THEN 1 ELSE 0 END AS st
+              FROM events
+              WINDOW w AS (PARTITION BY user_id, event_type ORDER BY epoch_ms(ts))),
+            s2 AS (
+              SELECT *, sum(st) OVER (
+                PARTITION BY user_id, event_type ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+              FROM s)
+            SELECT user_id, event_type, session_idx,
+                   min(t) AS start_ms, max(t) AS end_ms,
+                   max(t) - min(t) AS duration_ms,
+                   count(*) AS n_events, round(sum(value), 3) AS sum_val
+            FROM s2 GROUP BY 1, 2, 3
         """,
         "topk_series": """
             SELECT user_id, event_type, count(*) AS cnt FROM events

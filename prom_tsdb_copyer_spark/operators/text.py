@@ -34,6 +34,12 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.length(text_col).alias("n_chars"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        # BPE-ish subword proxy: alnum runs + standalone symbols, the
+        # usual pre-tokenizer shape, counted by regexp match (the
+        # pattern avoids lookarounds so Java regex and RE2 agree)
+        F.regexp_count(
+            F.col(text_col), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")
+        ).alias("n_subword_tokens"),
     )
 
 
@@ -78,9 +84,17 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     when no list scores > 0."""
     toks = _tokens(F.col(text_col))
     en, de, fr = (_stopword_hits(toks, lang) for lang in ("en", "de", "fr"))
+    # CJK: stopword voting is useless for unsegmented scripts -- use the
+    # CJK-codepoint character fraction instead
+    n_chars = F.greatest(F.length(text_col), F.lit(1))
+    cjk_frac = (
+        F.length(text_col)
+        - F.length(F.regexp_replace(F.col(text_col), "[一-鿿]", ""))
+    ) / n_chars
     best = F.greatest(en, de, fr)
     lang = (
-        F.when(best == 0, "unk")
+        F.when(cjk_frac > 0.3, "zh")
+        .when(best == 0, "unk")
         .when(en == best, "en")
         .when(de == best, "de")
         .otherwise("fr")

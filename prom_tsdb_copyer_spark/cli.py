@@ -81,6 +81,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-S", "--query-duration", default="2h",
                    help="slicing hint (results proven split-invariant)")
     p.add_argument("--tiers", default="1m,1h,1d")
+    p.add_argument("--chunk-tiers", default="",
+                   help="tiers that also materialize Gorilla chunk tables")
     p.add_argument("--thread", type=int, default=None, help="local[N] cores")
     p.add_argument("--run-id", default="cli")
     p.add_argument("--show-metrics", action="store_true")
@@ -110,6 +112,7 @@ def main(argv: list[str] | None = None) -> int:
         matchers=tuple(args.match),
         label_append=tuple(args.label_append),
         tiers=tuple(args.tiers.split(",")),
+        chunk_tiers=tuple(t for t in args.chunk_tiers.split(",") if t),
     )
     runner = ResumableRollup(
         job,

@@ -50,6 +50,9 @@ class CopyJob:
     matchers: tuple[str, ...] = ()
     label_append: tuple[str, ...] = ()  # "k=v" upserts (main.go:125)
     tiers: tuple[str, ...] = ("1m", "1h", "1d")
+    #: tiers that additionally materialize Gorilla chunk tables
+    #: (per-series compressed raw points -- SURVEY.md §1.1 hybrid shape)
+    chunk_tiers: tuple[str, ...] = ()
     metric_name: str = "turns"
     series_cols: tuple[str, ...] = tuple(TRANSCRIPT_SERIES)
     value_col: str = "value"
@@ -138,6 +141,19 @@ def run_and_write_rollups(
         write_tier(tier_df, path, mode=mode)
         rows[tier] = spark.read.parquet(path).count()
         prev_path = path
+
+    # Gorilla chunk tables: the per-series compressed raw points at the
+    # requested grains (the reference's actual block payload; rolled-up
+    # tiers above are the continuous-aggregate layer)
+    from ..functions.gorilla import encode_tier_chunks
+
+    for tier in job.chunk_tiers:
+        chunks = encode_tier_chunks(
+            filtered, series, tier, value_col=job.value_col, ts_col=job.ts_col
+        )
+        path = os.path.join(out_root, f"chunks={tier}")
+        write_tier(chunks, path, mode=mode)
+        rows[f"chunks={tier}"] = spark.read.parquet(path).count()
     return rows
 
 

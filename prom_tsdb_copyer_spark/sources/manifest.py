@@ -136,9 +136,12 @@ class ResumableRollup:
                 range_ms=(w.start_ms, w.end_ms),
             )
             rows_out = {}
-            for tier in self.job.tiers:
-                path = os.path.join(self.out_root, f"tier={tier}")
-                rows_out[tier] = (
+            tier_dirs = [f"tier={t}" for t in self.job.tiers] + [
+                f"chunks={t}" for t in self.job.chunk_tiers
+            ]
+            for d_ in tier_dirs:
+                path = os.path.join(self.out_root, d_)
+                rows_out[d_.split("=", 1)[-1] if d_.startswith("tier=") else d_] = (
                     spark.read.parquet(path)
                     .where(F.col("bucket_ms").between(w.start_ms, w.end_ms))
                     .count()

@@ -199,6 +199,42 @@ def q_chunk_downsample_1d(spark, sf_dir):
     return _round_sums(rollup(points, SERIES, "value", "1d"))
 
 
+def q_tier_select(spark, sf_dir):
+    """Read-side: matcher + bucket-range selection over the 1h tier (the
+    consumer leg of the copier's output blocks)."""
+    from prom_tsdb_copyer_spark.operators.query import select_series
+
+    tier = rollup(_events(spark, sf_dir), SERIES, "value", "1h")
+    return _round_sums(
+        select_series(
+            tier, SERIES,
+            matchers=["event_type=~(cl|pu).*", "user_id!=13"],
+            from_ms=1704067200000, to_ms=1705276799999,
+        )
+    )
+
+
+def q_increase_1d(spark, sf_dir):
+    """Read-side derived aggregate: per-series daily increase computed
+    from 1h tier first/last columns (no raw scan)."""
+    from prom_tsdb_copyer_spark.operators.query import increase
+
+    tier = rollup(_events(spark, sf_dir), SERIES, "value", "1h")
+    return increase(tier, SERIES, "1d").withColumn(
+        "increase", F.round("increase", 3)
+    ).withColumn("first_val", F.round("first_val", 3)).withColumn(
+        "last_val", F.round("last_val", 3)
+    )
+
+
+def q_avg_over_time_1d(spark, sf_dir):
+    """Read-side: sample-weighted daily mean from tier sums/counts."""
+    from prom_tsdb_copyer_spark.operators.query import avg_over_time
+
+    tier = rollup(_events(spark, sf_dir), SERIES, "value", "1h")
+    return avg_over_time(tier, SERIES, "1d")
+
+
 def q_sessionize(spark, sf_dir):
     """Training-data extension: inactivity-gap sessionization (lag +
     boundary cumsum, one shuffle) -> per-session stats."""
@@ -363,6 +399,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "chunk_stats": q_chunk_stats,
         "chunk_downsample_1d": q_chunk_downsample_1d,
+        "tier_select": q_tier_select,
+        "increase_1d": q_increase_1d,
+        "avg_over_time_1d": q_avg_over_time_1d,
         "sessionize": q_sessionize,
         "topk_series": q_topk_series,
         "agg_q1": q_agg_q1,
@@ -664,6 +703,45 @@ def _core_oracles() -> dict[str, str]:
                    min(epoch_ms(ts)) * 1000 AS first_ord,
                    max(epoch_ms(ts)) * 1000 AS last_ord
             FROM events GROUP BY 1, 2, 3
+        """,
+        "tier_select": f"""
+            SELECT * FROM (
+              SELECT user_id, event_type,
+                     (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS bucket_ms,
+                     {_ROLLUP_AGG_SQL}
+              FROM events GROUP BY 1, 2, 3)
+            WHERE regexp_full_match(event_type, '(?:(cl|pu).*)')
+              AND CAST(user_id AS VARCHAR) != '13'
+              AND bucket_ms BETWEEN 1704067200000 AND 1705276799999
+        """,
+        "increase_1d": f"""
+            WITH t AS (
+              SELECT user_id, event_type,
+                     (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS bucket_ms,
+                     arg_min(value, epoch_us(ts)) AS first_val,
+                     arg_max(value, epoch_us(ts)) AS last_val,
+                     min(epoch_us(ts)) AS first_ord,
+                     max(epoch_us(ts)) AS last_ord
+              FROM events GROUP BY 1, 2, 3)
+            SELECT user_id, event_type,
+                   (bucket_ms // {DAY_MS}) * {DAY_MS} AS window_ms,
+                   round(arg_min(first_val, first_ord), 3) AS first_val,
+                   round(arg_max(last_val, last_ord), 3) AS last_val,
+                   round(arg_max(last_val, last_ord)
+                         - arg_min(first_val, first_ord), 3) AS increase
+            FROM t GROUP BY 1, 2, 3
+        """,
+        "avg_over_time_1d": f"""
+            WITH t AS (
+              SELECT user_id, event_type,
+                     (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS bucket_ms,
+                     sum(value) AS sum_val, count(value) AS cnt
+              FROM events GROUP BY 1, 2, 3)
+            SELECT user_id, event_type,
+                   (bucket_ms // {DAY_MS}) * {DAY_MS} AS window_ms,
+                   round(sum(sum_val) / sum(cnt), 6) AS avg_value,
+                   sum(cnt) AS cnt
+            FROM t GROUP BY 1, 2, 3
         """,
         "sessionize": f"""
             WITH s AS (

@@ -1,0 +1,113 @@
+"""Read-side query operators over tier tables (consumer API).
+
+The reference is a copier, not a query engine -- but its output blocks
+are meant to be queried by Prometheus afterwards. This module is that
+consumer leg over OUR tier tables: select series by label matchers +
+bucket-time range (the same matcher semantics as ingest, applied to
+rolled-up data), and the classic time-series derived aggregates
+(increase / rate / avg_over_time) computed from the algebraic tier
+columns without touching raw data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..matchers import matchers_predicate
+from .windows import TIER_MS
+
+
+def select_series(
+    tier_df: DataFrame,
+    series_cols: list[str],
+    matchers: list[str] | None = None,
+    from_ms: int | None = None,
+    to_ms: int | None = None,
+    metric_name: str = "turns",
+) -> DataFrame:
+    """Matcher + bucket-range selection on a tier table.
+
+    bucket_ms is a plain BIGINT column, so the range predicate pushes to
+    parquet stats directly; matchers reuse the ingest-side semantics
+    (null label ≡ "")."""
+    labels = {c: F.col(c) for c in series_cols}
+    labels["__name__"] = F.lit(metric_name)
+    out = tier_df.where(matchers_predicate(matchers, labels))
+    if from_ms is not None:
+        out = out.where(F.col("bucket_ms") >= from_ms)
+    if to_ms is not None:
+        out = out.where(F.col("bucket_ms") <= to_ms)
+    return out
+
+
+def increase(
+    tier_df: DataFrame,
+    series_cols: list[str],
+    window: str | int,
+) -> DataFrame:
+    """Per (series, coarser window): last_val - first_val -- the
+    monotone-counter increase, computed purely from tier columns
+    (min_by/max_by over the carried order keys; exact because the tier
+    stores true first/last, not samples)."""
+    w_ms = TIER_MS[window] if isinstance(window, str) else int(window)
+    return (
+        tier_df.withColumn(
+            "window_ms", (F.floor(F.col("bucket_ms") / w_ms) * w_ms).cast("long")
+        )
+        .groupBy(*series_cols, "window_ms")
+        .agg(
+            F.min_by("first_val", F.col("first_ord")).alias("first_val"),
+            F.max_by("last_val", F.col("last_ord")).alias("last_val"),
+            (F.max_by("last_val", F.col("last_ord"))
+             - F.min_by("first_val", F.col("first_ord"))).alias("increase"),
+        )
+    )
+
+
+def rate_per_sec(
+    tier_df: DataFrame,
+    series_cols: list[str],
+    window: str | int,
+) -> DataFrame:
+    """increase / elapsed-seconds between first and last sample in the
+    window (PromQL-rate-like, without extrapolation -- documented
+    divergence: Prometheus extrapolates to the window edges)."""
+    w_ms = TIER_MS[window] if isinstance(window, str) else int(window)
+    base = (
+        tier_df.withColumn(
+            "window_ms", (F.floor(F.col("bucket_ms") / w_ms) * w_ms).cast("long")
+        )
+        .groupBy(*series_cols, "window_ms")
+        .agg(
+            F.min_by("first_val", F.col("first_ord")).alias("fv"),
+            F.max_by("last_val", F.col("last_ord")).alias("lv"),
+            F.min("first_ord").alias("fo"),
+            F.max("last_ord").alias("lo"),
+        )
+    )
+    elapsed_s = (F.col("lo") - F.col("fo")) / 1_000_000.0
+    return base.select(
+        *series_cols,
+        "window_ms",
+        F.when(elapsed_s > 0, F.round((F.col("lv") - F.col("fv")) / elapsed_s, 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("rate_per_sec"),
+    )
+
+
+def avg_over_time(
+    tier_df: DataFrame, series_cols: list[str], window: str | int
+) -> DataFrame:
+    """Sample-weighted mean over the window from tier sums/counts."""
+    w_ms = TIER_MS[window] if isinstance(window, str) else int(window)
+    return (
+        tier_df.withColumn(
+            "window_ms", (F.floor(F.col("bucket_ms") / w_ms) * w_ms).cast("long")
+        )
+        .groupBy(*series_cols, "window_ms")
+        .agg(
+            F.round(F.sum("sum_val") / F.sum("cnt"), 6).alias("avg_value"),
+            F.sum("cnt").alias("cnt"),
+        )
+    )

@@ -257,6 +257,22 @@ def q_topk_series(spark, sf_dir):
     )
 
 
+def q_distinct_series_per_day(spark, sf_dir):
+    """Distinct aggregation (beyond the reference, §2.4 note): active
+    series per day -- exact count(distinct) with its two-stage shuffle."""
+    ev = _events(spark, sf_dir)
+    from prom_tsdb_copyer_spark.operators.windows import bucket_ms_col
+
+    return (
+        ev.withColumn("bucket_ms", bucket_ms_col(F.col("ts"), DAY_MS))
+        .groupBy("bucket_ms")
+        .agg(
+            F.countDistinct("user_id", "event_type").alias("n_series"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def q_agg_q1(spark, sf_dir):
     """Generic OLAP agg (TPC-H Q1 shape) -- demonstrates the engine's
     group-agg surface beyond the time-series core."""
@@ -404,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_over_time_1d": q_avg_over_time_1d,
         "sessionize": q_sessionize,
         "topk_series": q_topk_series,
+        "distinct_series_per_day": q_distinct_series_per_day,
         "agg_q1": q_agg_q1,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -765,6 +782,12 @@ def _core_oracles() -> dict[str, str]:
         "topk_series": """
             SELECT user_id, event_type, count(*) AS cnt FROM events
             GROUP BY 1, 2 ORDER BY cnt DESC, user_id, event_type LIMIT 10
+        """,
+        "distinct_series_per_day": f"""
+            SELECT (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms,
+                   count(DISTINCT (user_id, event_type)) AS n_series,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
         """,
         "agg_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -257,6 +257,22 @@ def q_topk_series(spark, sf_dir):
     )
 
 
+def q_pivot_type_by_day(spark, sf_dir):
+    """Pivot surface: per-day event counts as one column per event_type
+    (fixed column list keeps the plan static and the oracle exact)."""
+    ev = _events(spark, sf_dir)
+    from prom_tsdb_copyer_spark.operators.windows import bucket_ms_col
+
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.withColumn("bucket_ms", bucket_ms_col(F.col("ts"), DAY_MS))
+        .groupBy("bucket_ms")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
 def q_distinct_series_per_day(spark, sf_dir):
     """Distinct aggregation (beyond the reference, §2.4 note): active
     series per day -- exact count(distinct) with its two-stage shuffle."""
@@ -420,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_over_time_1d": q_avg_over_time_1d,
         "sessionize": q_sessionize,
         "topk_series": q_topk_series,
+        "pivot_type_by_day": q_pivot_type_by_day,
         "distinct_series_per_day": q_distinct_series_per_day,
         "agg_q1": q_agg_q1,
         "dedup_exact": q_dedup_exact,
@@ -782,6 +799,15 @@ def _core_oracles() -> dict[str, str]:
         "topk_series": """
             SELECT user_id, event_type, count(*) AS cnt FROM events
             GROUP BY 1, 2 ORDER BY cnt DESC, user_id, event_type LIMIT 10
+        """,
+        "pivot_type_by_day": f"""
+            SELECT (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'view') AS view,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'error') AS error
+            FROM events GROUP BY 1
         """,
         "distinct_series_per_day": f"""
             SELECT (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms,

@@ -100,12 +100,17 @@ class ResumableRollup:
         block_ms: int = DAY_MS,
         run_id: str = "run-0",
         source_path: str | None = None,
+        collect_counts: bool = True,
     ):
         self.job = job
         self.out_root = out_root
         self.block_ms = block_ms
         self.run_id = run_id
         self.source_path = source_path
+        #: per-window output row counts in the manifest cost one extra
+        #: job per tier per window; disable for throughput-critical runs
+        #: (lineage keeps rows_in + timings either way)
+        self.collect_counts = collect_counts
 
     def run(self, df: DataFrame, from_ms: int, to_ms: int, fail_at: int | None = None):
         from pyspark.sql import functions as F
@@ -138,7 +143,7 @@ class ResumableRollup:
             rows_out = {}
             tier_dirs = [f"tier={t}" for t in self.job.tiers] + [
                 f"chunks={t}" for t in self.job.chunk_tiers
-            ]
+            ] if self.collect_counts else []
             for d_ in tier_dirs:
                 path = os.path.join(self.out_root, d_)
                 rows_out[d_.split("=", 1)[-1] if d_.startswith("tier=") else d_] = (

@@ -97,6 +97,7 @@ def run_and_write_rollups(
     out_root: str,
     mode: str = "overwrite",
     range_ms: tuple[int, int] | None = None,
+    collect_counts: bool = True,
 ) -> dict[str, int]:
     """Materialized cascade: write the finest tier, then derive each
     coarser tier from the tier just WRITTEN (read back), never from raw.
@@ -139,7 +140,8 @@ def run_and_write_rollups(
             tier_df = reaggregate(prev, series, tier)
         path = os.path.join(out_root, f"tier={tier}")
         write_tier(tier_df, path, mode=mode)
-        rows[tier] = spark.read.parquet(path).count()
+        if collect_counts:
+            rows[tier] = spark.read.parquet(path).count()
         prev_path = path
 
     # Gorilla chunk tables: the per-series compressed raw points at the
@@ -153,7 +155,8 @@ def run_and_write_rollups(
         )
         path = os.path.join(out_root, f"chunks={tier}")
         write_tier(chunks, path, mode=mode)
-        rows[f"chunks={tier}"] = spark.read.parquet(path).count()
+        if collect_counts:
+            rows[f"chunks={tier}"] = spark.read.parquet(path).count()
     return rows
 
 

@@ -45,7 +45,8 @@ def streaming_tier_1m(
     )
     ts = F.col(ts_col)
     val = F.col(value_col)
-    ord_key = F.unix_micros(ts.cast("timestamp"))
+    stream = stream.withColumn("_ord", F.unix_micros(ts.cast("timestamp")))
+    ord_key = F.col("_ord")
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts, "1 minute").alias("win"), *series_cols)

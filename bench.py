@@ -34,7 +34,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "12000"))  # ~5.5M turns (zipf mean ~460)
 BENCH_SEED = 42
 BENCH_INPUT = os.environ.get(
-    "BENCH_INPUT", f"/tmp/bench_transcripts_c{BENCH_CONVS}_s{BENCH_SEED}"
+    "BENCH_INPUT", f"/tmp/bench_transcripts_c{BENCH_CONVS}_s{BENCH_SEED}_f250k"
 )
 SERIES = ["conv_id", "role", "tool"]
 
@@ -131,8 +131,11 @@ def run_scaling() -> dict:
     (write barriers, small stages) and scaling efficiency measures
     Amdahl overhead, not the engine."""
     scaling_convs = os.environ.get("SCALING_CONVS", str(BENCH_CONVS * 4))
+    pair = tuple(
+        int(x) for x in os.environ.get("SCALING_PAIR", "2,8").split(",")
+    )
     results = {}
-    for cpus in (8, 32):
+    for cpus in pair:
         env = dict(
             os.environ,
             SPARK_GRAFT_CPUS=str(cpus),
@@ -148,17 +151,18 @@ def run_scaling() -> dict:
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
-    t8, t32 = results[8]["seconds"], results[32]["seconds"]
-    rows = results[32]["rows"]
-    eff = (t8 / t32) / (32 / 8)
+    lo, hi = pair
+    t_lo, t_hi = results[lo]["seconds"], results[hi]["seconds"]
+    rows = results[hi]["rows"]
+    eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "scaling_efficiency_8_to_32",
+        "metric": f"scaling_efficiency_{lo}_to_{hi}",
         "value": round(eff, 3),
         "unit": "ratio",
-        "throughput_8": round(rows / t8, 1),
-        "throughput_32": round(rows / t32, 1),
-        "seconds_8": round(t8, 2),
-        "seconds_32": round(t32, 2),
+        f"throughput_{lo}": round(rows / t_lo, 1),
+        f"throughput_{hi}": round(rows / t_hi, 1),
+        f"seconds_{lo}": round(t_lo, 2),
+        f"seconds_{hi}": round(t_hi, 2),
         "rows": rows,
     }
 

@@ -98,7 +98,17 @@ def _turn_text(conv_id: str, turn_idx: int, length: int) -> str:
 
 
 def write_bench_parquet(
-    path: str, n_convs: int, seed: int = 42, rows_per_file: int = 2_000_000
+    path: str, n_convs: int, seed: int = 42, rows_per_file: int = 250_000
+) -> int:
+    """rows_per_file sizes SCAN parallelism: these zstd files are far
+    below spark.sql.files.maxPartitionBytes, so one file == one scan
+    task; 2M-row files capped a 22M-row scan at 12 tasks and silently
+    serialized 32-core runs."""
+    return _write_bench_parquet(path, n_convs, seed, rows_per_file)
+
+
+def _write_bench_parquet(
+    path: str, n_convs: int, seed: int, rows_per_file: int
 ) -> int:
     """Generate a bench-scale transcripts table straight to parquet via
     pyarrow (no Spark, no text payload) -- cached input for scaling runs.

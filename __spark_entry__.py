@@ -368,6 +368,18 @@ def q_ann_cosine_topk(spark, sf_dir):
     return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=3)
 
 
+def q_ivf_topk_full_probe(spark, sf_dir):
+    """IVF ANN in exhaustive mode (n_probe == n_cells): must equal the
+    brute-force result exactly, so it shares that oracle -- proving the
+    cell partition covers the corpus with no loss; production uses
+    n_probe << n_cells (recall tested in pytest)."""
+    from prom_tsdb_copyer_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=3,
+                    n_cells=8, n_probe=8)
+
+
 def q_embedding_neardup(spark, sf_dir):
     from prom_tsdb_copyer_spark.operators.similarity import neardup_pairs
 
@@ -446,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ivf_topk_full_probe": q_ivf_topk_full_probe,
         "embedding_neardup": q_embedding_neardup,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -572,6 +585,19 @@ def _pipeline_oracles() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id AND bit_count(xor(a.f, b.f)) <= 20
         """,
         "ann_cosine_topk": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+                 scored AS (
+                   SELECT query_id, e.vec_id AS neighbor_id, {cos} AS cosine
+                   FROM q, e WHERE e.vec_id != query_id),
+                 ranked AS (
+                   SELECT *, row_number() OVER (
+                     PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                   ) AS rank FROM scored)
+            SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+        """,
+        # exhaustive-mode IVF == brute force -> shares its oracle
+        "ivf_topk_full_probe": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
                  q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
                  scored AS (

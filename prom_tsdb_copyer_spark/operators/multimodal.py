@@ -83,6 +83,28 @@ def fake_decode_image(payload: bytes, w: int = 8, h: int = 8) -> np.ndarray:
     return np.tile(buf, reps)[:need].reshape(h, w, 3)
 
 
+def resize_nn(frame: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize -- REAL numpy kernel (no codec libs
+    needed), the shape a bilinear/letterbox preprocessor would have."""
+    h, w = frame.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return frame[ys][:, xs]
+
+
+def sample_frames(payload: bytes, n_frames: int, w: int = 8, h: int = 8) -> np.ndarray:
+    """Frame sampling for a fake 'video' payload: split the byte stream
+    into n_frames equal spans and fake-decode each -- the uniform-stride
+    frame sampler's plumbing (n_frames x H x W x 3)."""
+    span = max(len(payload) // n_frames, 1)
+    return np.stack(
+        [
+            fake_decode_image(payload[i * span : (i + 1) * span] or payload, w, h)
+            for i in range(n_frames)
+        ]
+    )
+
+
 FEATURE_SCHEMA = "doc_id long, mean_r double, mean_g double, mean_b double"
 
 
@@ -106,4 +128,30 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 def extract_features(binary_docs: DataFrame) -> DataFrame:
     return binary_docs.select("doc_id", "payload").mapInPandas(
         _extract_features, schema=FEATURE_SCHEMA
+    )
+
+
+VIDEO_FEATURE_SCHEMA = (
+    "doc_id long, n_frames int, thumb_mean double, motion double"
+)
+
+
+def _extract_video_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Video-shaped kernel: sample 4 frames, resize each to 4x4, emit a
+    thumbnail mean + frame-to-frame motion proxy (mean abs diff)."""
+    for pdf in batches:
+        rows = {"doc_id": [], "n_frames": [], "thumb_mean": [], "motion": []}
+        for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+            frames = sample_frames(payload, 4)
+            thumbs = np.stack([resize_nn(f, 4, 4) for f in frames]).astype(np.float64)
+            rows["doc_id"].append(int(did))
+            rows["n_frames"].append(len(frames))
+            rows["thumb_mean"].append(float(thumbs.mean()))
+            rows["motion"].append(float(np.abs(np.diff(thumbs, axis=0)).mean()))
+        yield pd.DataFrame(rows)
+
+
+def extract_video_features(binary_docs: DataFrame) -> DataFrame:
+    return binary_docs.select("doc_id", "payload").mapInPandas(
+        _extract_video_features, schema=VIDEO_FEATURE_SCHEMA
     )

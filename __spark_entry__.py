@@ -320,6 +320,19 @@ def q_dedup_exact(spark, sf_dir):
     return dedup_exact(_docs(spark, sf_dir))
 
 
+def q_dedup_apply(spark, sf_dir):
+    """Apply the dedup decision: keep one representative row per distinct
+    text (broadcast semi-join against the keep list) -- the step that
+    actually shrinks a training corpus."""
+    from prom_tsdb_copyer_spark.operators.dedup import dedup_exact
+
+    docs = _docs(spark, sf_dir)
+    keep = dedup_exact(docs).select(F.col("keep_id").alias("doc_id"))
+    return docs.join(F.broadcast(keep), "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def q_minhash_signatures(spark, sf_dir):
     from prom_tsdb_copyer_spark.operators.dedup import (
         doc_shingle_hashes,
@@ -452,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_series_per_day": q_distinct_series_per_day,
         "agg_q1": q_agg_q1,
         "dedup_exact": q_dedup_exact,
+        "dedup_apply": q_dedup_apply,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -533,6 +547,10 @@ def _pipeline_oracles() -> dict[str, str]:
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
                    count(*) AS n_dupes
             FROM documents GROUP BY 1
+        """,
+        "dedup_apply": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
         """,
         "minhash_signatures": f"""
             WITH sh AS ({b['sh']}), ix AS ({b['ix']})

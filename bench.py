@@ -8,9 +8,10 @@ print ONE JSON line:
     {"metric": "rollup_points_per_sec", "value": N, "unit": "sec",
      "queries": {...per-query seconds...}, "sf": ...}
 
-`--scaling` mode: run the same rollup job in fresh subprocesses at
-local[8] and local[32] (the sandbox analog of N vs 4N executors,
-BASELINE.md) and print throughput at both plus scaling efficiency.
+`--scaling` mode: run the same rollup job in fresh subprocesses at two
+parallelism levels (SCALING_PAIR, default 2,8 -- the sandbox analog of
+N vs 4N executors, BASELINE.md/BENCH.md) on a 4x input and print
+throughput at both plus scaling efficiency.
 
 The headline metric is rolled-up points(samples)/sec through the full
 1m->1h->1d cascade including the partitioned-parquet sink, matching the
@@ -61,9 +62,6 @@ def timed(fn):
 
 
 def run_bench() -> dict:
-    from pyspark.sql import functions as F
-
-    from prom_tsdb_copyer_spark.operators.rollup import cascade
     from prom_tsdb_copyer_spark.session import get_spark
 
     n_rows = ensure_bench_input()

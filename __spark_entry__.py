@@ -40,8 +40,22 @@ from prom_tsdb_copyer_spark.sources.tables import load_table, time_extent
 SERIES = ["user_id", "event_type"]
 
 
+def _prep(spark: SparkSession) -> SparkSession:
+    """The driver supplies its own SparkSession; pin the runtime SQL
+    confs our semantics depend on (UTC for epoch math on NTZ sources,
+    Arrow for the codec UDFs). These are session-conf-settable at any
+    time; cluster-level confs (memory, cores) are left alone."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    import os as _os
+
+    _os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
+    _os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    return spark
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "events")
+    return load_table(_prep(spark), sf_dir, "events")
 
 
 def _event_labels() -> dict:
@@ -292,7 +306,7 @@ def q_distinct_series_per_day(spark, sf_dir):
 def q_agg_q1(spark, sf_dir):
     """Generic OLAP agg (TPC-H Q1 shape) -- demonstrates the engine's
     group-agg surface beyond the time-series core."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(_prep(spark), sf_dir, "lineitem")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -311,7 +325,7 @@ def q_agg_q1(spark, sf_dir):
 # ---------------------------------------------- training-data pipeline
 
 def _docs(spark, sf_dir):
-    return load_table(spark, sf_dir, "documents")
+    return load_table(_prep(spark), sf_dir, "documents")
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -377,7 +391,7 @@ def q_simhash_pairs(spark, sf_dir):
 def q_ann_cosine_topk(spark, sf_dir):
     from prom_tsdb_copyer_spark.operators.similarity import brute_force_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(_prep(spark), sf_dir, "embeddings")
     return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=3)
 
 
@@ -388,7 +402,7 @@ def q_ivf_topk_full_probe(spark, sf_dir):
     n_probe << n_cells (recall tested in pytest)."""
     from prom_tsdb_copyer_spark.operators.similarity import ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(_prep(spark), sf_dir, "embeddings")
     return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=3,
                     n_cells=8, n_probe=8)
 
@@ -396,7 +410,7 @@ def q_ivf_topk_full_probe(spark, sf_dir):
 def q_embedding_neardup(spark, sf_dir):
     from prom_tsdb_copyer_spark.operators.similarity import neardup_pairs
 
-    return neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.3)
+    return neardup_pairs(load_table(_prep(spark), sf_dir, "embeddings"), threshold=0.3)
 
 
 def q_text_tokens(spark, sf_dir):

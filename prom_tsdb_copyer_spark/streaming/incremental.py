@@ -69,6 +69,40 @@ def streaming_tier_1m(
     )
 
 
+def streaming_sessions(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    series_cols: list[str],
+    gap: str = "1 hour",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessionization via the native session_window: dynamic
+    windows that extend while events arrive within `gap` and close when
+    the watermark passes the gap -- the streaming twin of
+    operators/sessionize.py (whose batch output is the oracle in
+    tests)."""
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .load(source_dir)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), *series_cols)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 3).alias("sum_val"),
+            F.min(F.unix_millis(F.col(ts_col).cast("timestamp"))).alias("start_ms"),
+            F.max(F.unix_millis(F.col(ts_col).cast("timestamp"))).alias("end_ms"),
+        )
+        .select(*series_cols, "start_ms", "end_ms", "n_events", "sum_val")
+    )
+
+
 def run_available_now(
     tier_df: DataFrame, out_path: str, checkpoint: str
 ):
@@ -77,14 +111,17 @@ def run_available_now(
     run. foreachBatch gives exactly-once-per-epoch parquet appends."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        (
-            batch_df.withColumn(
-                "part_day", F.to_date(F.timestamp_millis(F.col("bucket_ms")))
+        if "bucket_ms" in batch_df.columns:
+            (
+                batch_df.withColumn(
+                    "part_day", F.to_date(F.timestamp_millis(F.col("bucket_ms")))
+                )
+                .write.mode("append")
+                .partitionBy("part_day")
+                .parquet(out_path)
             )
-            .write.mode("append")
-            .partitionBy("part_day")
-            .parquet(out_path)
-        )
+        else:  # session-shaped output: no fixed bucket grid to partition on
+            batch_df.write.mode("append").parquet(out_path)
 
     return (
         tier_df.writeStream.outputMode("append")

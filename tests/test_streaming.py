@@ -91,3 +91,46 @@ def test_streaming_incremental_second_batch(spark, transcripts, tmp_path):
         .count()
     )
     assert dupes == 0
+
+
+def test_streaming_sessions_match_batch(spark, transcripts, tmp_path):
+    """session_window streaming sessions == batch sessionize stats for
+    sessions fully closed below the watermark."""
+    from prom_tsdb_copyer_spark.operators.sessionize import session_stats
+    from prom_tsdb_copyer_spark.operators.windows import MINUTE_MS, unix_ms
+    from prom_tsdb_copyer_spark.streaming.incremental import (
+        run_available_now,
+        streaming_sessions,
+    )
+
+    src = str(tmp_path / "sess_src")
+    transcripts.write.parquet(src)
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    gap_ms = 3600 * 1000
+
+    sess = streaming_sessions(spark, src, transcripts.schema, SERIES, gap="1 hour")
+    run_available_now(sess, out, ckpt).awaitTermination(300)
+    got = (
+        spark.read.parquet(out)
+        .drop("part_day")
+        .toPandas()
+        .fillna({"tool": "<null>"})
+        .sort_values(SERIES + ["start_ms"])
+        .reset_index(drop=True)
+    )
+
+    max_ts = transcripts.agg(F.max(unix_ms(F.col("ts")))).first()[0]
+    watermark_ms = max_ts - 10 * MINUTE_MS
+    batch = session_stats(transcripts, SERIES, gap_ms)
+    want = (
+        batch.where(F.col("end_ms") + gap_ms <= watermark_ms)
+        .select(*SERIES, "start_ms", "end_ms", "n_events", "sum_val")
+        .toPandas()
+        .fillna({"tool": "<null>"})
+        .sort_values(SERIES + ["start_ms"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)

@@ -303,6 +303,32 @@ def q_distinct_series_per_day(spark, sf_dir):
     )
 
 
+def q_cube_counts(spark, sf_dir):
+    """SQL-cube surface: counts over all (event_type, day) subtotal
+    combinations -- grouping-set semantics match DuckDB's CUBE exactly
+    (NULL marks the aggregated-out dimension)."""
+    ev = _events(spark, sf_dir)
+    from prom_tsdb_copyer_spark.operators.windows import bucket_ms_col
+
+    return (
+        ev.withColumn("bucket_ms", bucket_ms_col(F.col("ts"), DAY_MS))
+        .cube("event_type", "bucket_ms")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 3).alias("sum_val"))
+    )
+
+
+def q_approx_stats(spark, sf_dir):
+    """Approximate aggregates (HLL distinct, quantile sketch) -- sketch
+    algorithms differ across engines, so this is a rows-only contract
+    entry (no oracle); exactness bounds are asserted in pytest."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+        F.percentile_approx("value", 0.99).alias("approx_p99"),
+    )
+
+
 def q_agg_q1(spark, sf_dir):
     """Generic OLAP agg (TPC-H Q1 shape) -- demonstrates the engine's
     group-agg surface beyond the time-series core."""
@@ -477,6 +503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_series": q_topk_series,
         "pivot_type_by_day": q_pivot_type_by_day,
         "distinct_series_per_day": q_distinct_series_per_day,
+        "cube_counts": q_cube_counts,
+        "approx_stats": q_approx_stats,  # rows-only: sketch impls differ
         "agg_q1": q_agg_q1,
         "dedup_exact": q_dedup_exact,
         "dedup_apply": q_dedup_apply,
@@ -872,6 +900,12 @@ def _core_oracles() -> dict[str, str]:
                    count(DISTINCT (user_id, event_type)) AS n_series,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        "cube_counts": f"""
+            SELECT event_type,
+                   (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms,
+                   count(*) AS cnt, round(sum(value), 3) AS sum_val
+            FROM events GROUP BY CUBE (1, 2)
         """,
         "agg_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -43,10 +43,16 @@ SERIES = ["user_id", "event_type"]
 def _prep(spark: SparkSession) -> SparkSession:
     """The driver supplies its own SparkSession; pin the runtime SQL
     confs our semantics depend on (UTC for epoch math on NTZ sources,
-    Arrow for the codec UDFs). These are session-conf-settable at any
-    time; cluster-level confs (memory, cores) are left alone."""
+    Arrow for the codec UDFs, and a fixed shuffle/AQE setup so the
+    physical plan -- and with it any summation order -- is identical
+    between the driver's session and the local checker). These are all
+    session-conf-settable at any time; cluster-level confs (memory,
+    cores) are left alone."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     import os as _os
 
     _os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
@@ -251,11 +257,14 @@ def q_avg_over_time_1d(spark, sf_dir):
 
 def q_sessionize(spark, sf_dir):
     """Training-data extension: inactivity-gap sessionization (lag +
-    boundary cumsum, one shuffle) -> per-session stats."""
+    boundary cumsum, one shuffle) -> per-session stats. event_id
+    tie-breaks the per-series scan order (total order -> deterministic
+    session indices on both engines)."""
     from prom_tsdb_copyer_spark.operators.sessionize import session_stats
 
     return session_stats(
-        _events(spark, sf_dir), SERIES, gap_ms=HOUR_MS
+        _events(spark, sf_dir), SERIES, gap_ms=HOUR_MS,
+        tiebreak_cols=["event_id"],
     )
 
 
@@ -318,14 +327,26 @@ def q_cube_counts(spark, sf_dir):
 
 
 def q_approx_stats(spark, sf_dir):
-    """Approximate aggregates (HLL distinct, quantile sketch) -- sketch
-    algorithms differ across engines, so this is a rows-only contract
-    entry (no oracle); exactness bounds are asserted in pytest."""
+    """Approximate aggregates (HLL distinct, quantile sketch). Sketch
+    *values* differ across engines, so the contract pins the exact
+    figures plus bounds-check BOOLEANS: each approx value must land
+    within its documented error of the exact answer computed in the
+    same query (HLL rsd=0.05 -> +-15% = 3 sigma; percentile_approx
+    rank error <= 1/accuracy=1e-4 -> generous rank brackets). The
+    oracle asserts the booleans are all TRUE -- a wrong sketch flips
+    the value hash."""
     ev = _events(spark, sf_dir)
+    n_exact = F.countDistinct("user_id")
+    approx_n = F.approx_count_distinct("user_id")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("approx_median"),
-        F.percentile_approx("value", 0.99).alias("approx_p99"),
+        n_exact.alias("n_users_exact"),
+        (F.abs(approx_n - n_exact) <= 0.15 * n_exact).alias("approx_users_ok"),
+        F.percentile_approx("value", 0.5).between(
+            F.percentile("value", 0.45), F.percentile("value", 0.55)
+        ).alias("approx_median_ok"),
+        F.percentile_approx("value", 0.99).between(
+            F.percentile("value", 0.97), F.max("value")
+        ).alias("approx_p99_ok"),
     )
 
 
@@ -388,14 +409,22 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+NGRAM_MAX_DF = 50  # drop shingles present in >10% of the sf0.01 corpus
+
+
 def q_ngram_jaccard(spark, sf_dir):
+    """max_df guards the shared-shingle self-join: stop-shingles (very
+    common 5-grams) are dropped before the join, bounding the per-key
+    fan-out at DF^2 -- without it the hottest shingle alone would
+    detonate the join at corpus scale (VERDICT r1 item 4)."""
     from prom_tsdb_copyer_spark.operators.dedup import (
         doc_shingle_hashes,
         jaccard_pairs,
     )
 
     return jaccard_pairs(
-        doc_shingle_hashes(_docs(spark, sf_dir)), threshold=0.2
+        doc_shingle_hashes(_docs(spark, sf_dir)), threshold=0.2,
+        max_df=NGRAM_MAX_DF,
     )
 
 
@@ -504,7 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_type_by_day": q_pivot_type_by_day,
         "distinct_series_per_day": q_distinct_series_per_day,
         "cube_counts": q_cube_counts,
-        "approx_stats": q_approx_stats,  # rows-only: sketch impls differ
+        "approx_stats": q_approx_stats,
         "agg_q1": q_agg_q1,
         "dedup_exact": q_dedup_exact,
         "dedup_apply": q_dedup_apply,
@@ -608,7 +637,11 @@ def _pipeline_oracles() -> dict[str, str]:
             SELECT * FROM ({b['jacc']}) WHERE jaccard >= 0.5
         """,
         "ngram_jaccard": f"""
-            WITH sh AS ({b['sh']}), inter AS ({b['inter']}), sizes AS ({b['sizes']})
+            WITH sh0 AS ({b['sh']}),
+                 keep AS (SELECT hm FROM sh0 GROUP BY hm
+                          HAVING count(*) <= {NGRAM_MAX_DF}),
+                 sh AS (SELECT * FROM sh0 WHERE hm IN (SELECT hm FROM keep)),
+                 inter AS ({b['inter']}), sizes AS ({b['sizes']})
             SELECT * FROM ({b['jacc']}) WHERE jaccard >= 0.2
         """,
         "simhash_fingerprints": f"""
@@ -852,6 +885,9 @@ def _core_oracles() -> dict[str, str]:
             FROM t GROUP BY 1, 2, 3
         """,
         "avg_over_time_1d": f"""
+            -- determinism discipline mirrors operators/query.py:
+            -- round the accumulated sum to 3 decimals (2-decimal inputs)
+            -- BEFORE the quotient, so avg is a function of two exact values
             WITH t AS (
               SELECT user_id, event_type,
                      (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS bucket_ms,
@@ -859,21 +895,23 @@ def _core_oracles() -> dict[str, str]:
               FROM events GROUP BY 1, 2, 3)
             SELECT user_id, event_type,
                    (bucket_ms // {DAY_MS}) * {DAY_MS} AS window_ms,
-                   round(sum(sum_val) / sum(cnt), 6) AS avg_value,
+                   round(round(sum(sum_val), 3) / sum(cnt), 6) AS avg_value,
+                   round(sum(sum_val), 3) AS sum_val,
                    sum(cnt) AS cnt
             FROM t GROUP BY 1, 2, 3
         """,
         "sessionize": f"""
             WITH s AS (
-              SELECT user_id, event_type, value, epoch_ms(ts) AS t,
+              SELECT user_id, event_type, value, epoch_ms(ts) AS t, event_id,
                      CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
                             OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {HOUR_MS}
                           THEN 1 ELSE 0 END AS st
               FROM events
-              WINDOW w AS (PARTITION BY user_id, event_type ORDER BY epoch_ms(ts))),
+              WINDOW w AS (PARTITION BY user_id, event_type
+                           ORDER BY epoch_ms(ts), event_id)),
             s2 AS (
               SELECT *, sum(st) OVER (
-                PARTITION BY user_id, event_type ORDER BY t
+                PARTITION BY user_id, event_type ORDER BY t, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
               FROM s)
             SELECT user_id, event_type, session_idx,
@@ -885,6 +923,16 @@ def _core_oracles() -> dict[str, str]:
         "topk_series": """
             SELECT user_id, event_type, count(*) AS cnt FROM events
             GROUP BY 1, 2 ORDER BY cnt DESC, user_id, event_type LIMIT 10
+        """,
+        # the sketches run Spark-side; the oracle pins the exact figure
+        # and asserts every bounds-check boolean came out TRUE
+        "approx_stats": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users_exact,
+                   TRUE AS approx_users_ok,
+                   TRUE AS approx_median_ok,
+                   TRUE AS approx_p99_ok
+            FROM events GROUP BY 1
         """,
         "pivot_type_by_day": f"""
             SELECT (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms,

@@ -99,15 +99,23 @@ def rate_per_sec(
 def avg_over_time(
     tier_df: DataFrame, series_cols: list[str], window: str | int
 ) -> DataFrame:
-    """Sample-weighted mean over the window from tier sums/counts."""
+    """Sample-weighted mean over the window from tier sums/counts.
+
+    Determinism: the accumulated sum is rounded to 3 decimals FIRST
+    (2-decimal inputs -> the true sum has 2 decimals, so ULP noise from
+    any summation order is absorbed), then divided by the exact integer
+    count -- the quotient of two identical values is identical across
+    engines/partitionings, unlike round(quotient, 6) of a raw float sum."""
     w_ms = TIER_MS[window] if isinstance(window, str) else int(window)
+    sum3 = F.round(F.sum("sum_val"), 3)
     return (
         tier_df.withColumn(
             "window_ms", (F.floor(F.col("bucket_ms") / w_ms) * w_ms).cast("long")
         )
         .groupBy(*series_cols, "window_ms")
         .agg(
-            F.round(F.sum("sum_val") / F.sum("cnt"), 6).alias("avg_value"),
+            F.round(sum3 / F.sum("cnt"), 6).alias("avg_value"),
+            sum3.alias("sum_val"),
             F.sum("cnt").alias("cnt"),
         )
     )

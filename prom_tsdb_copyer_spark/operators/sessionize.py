@@ -22,9 +22,17 @@ def sessionize(
     series_cols: list[str],
     gap_ms: int,
     ts_col: str = "ts",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Adds `session_idx` (0-based per series) and `is_session_start`."""
-    w = Window.partitionBy(*series_cols).orderBy(unix_ms(F.col(ts_col)))
+    """Adds `session_idx` (0-based per series) and `is_session_start`.
+
+    `tiebreak_cols` (e.g. a unique event id) makes the per-series scan
+    order total when timestamps tie -- session indices are then
+    deterministic across engines and partitionings, which the oracle
+    gate requires (the boundary test itself only compares ts values, but
+    the running-sum order must be total to be reproducible)."""
+    order = [unix_ms(F.col(ts_col))] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*series_cols).orderBy(*order)
     prev = F.lag(unix_ms(F.col(ts_col))).over(w)
     is_start = prev.isNull() | (unix_ms(F.col(ts_col)) - prev > gap_ms)
     return df.withColumn("is_session_start", is_start).withColumn(
@@ -41,9 +49,10 @@ def session_stats(
     gap_ms: int,
     ts_col: str = "ts",
     value_col: str = "value",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-session summary: bounds, duration, event count, value sum."""
-    s = sessionize(df, series_cols, gap_ms, ts_col)
+    s = sessionize(df, series_cols, gap_ms, ts_col, tiebreak_cols)
     return s.groupBy(*series_cols, "session_idx").agg(
         F.min(unix_ms(F.col(ts_col))).alias("start_ms"),
         F.max(unix_ms(F.col(ts_col))).alias("end_ms"),

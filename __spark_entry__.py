@@ -435,12 +435,30 @@ def q_simhash_fingerprints(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """All-pairs hamming kernel -- the quadratic oracle twin of
+    simhash_pairs_blocked (both share one SQL oracle, like
+    ann_cosine_topk / ivf_topk_full_probe)."""
     from prom_tsdb_copyer_spark.operators.dedup import (
         simhash_fingerprints,
         simhash_pairs,
     )
 
-    return simhash_pairs(simhash_fingerprints(_docs(spark, sf_dir)), max_hamming=20)
+    return simhash_pairs(simhash_fingerprints(_docs(spark, sf_dir)), max_hamming=3)
+
+
+def q_simhash_pairs_blocked(spark, sf_dir):
+    """The production path: pigeonhole segment-block equi-join (exact by
+    construction -- see operators/dedup.py:simhash_pairs_blocked); its
+    oracle is the same all-pairs SQL, so the gate proves blocked ==
+    exhaustive."""
+    from prom_tsdb_copyer_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs_blocked,
+    )
+
+    return simhash_pairs_blocked(
+        simhash_fingerprints(_docs(spark, sf_dir)), max_hamming=3
+    )
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -463,9 +481,25 @@ def q_ivf_topk_full_probe(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
+    """All-pairs cosine kernel -- the quadratic oracle twin of
+    bucketed_neardup (fixture-scale only)."""
     from prom_tsdb_copyer_spark.operators.similarity import neardup_pairs
 
     return neardup_pairs(load_table(_prep(spark), sf_dir, "embeddings"), threshold=0.3)
+
+
+def q_bucketed_neardup(spark, sf_dir):
+    """The production near-dup path: multi-table hyperplane LSH
+    candidates -> cosine verify, no cross join. At this (threshold,
+    planes, tables) config every qualifying pair lands in >=1 shared
+    bucket, so the result equals the brute-force SQL oracle exactly;
+    production-tight configs get a pytest recall bound instead."""
+    from prom_tsdb_copyer_spark.operators.similarity import bucketed_neardup
+
+    return bucketed_neardup(
+        load_table(_prep(spark), sf_dir, "embeddings"),
+        threshold=0.45, n_planes=2, n_tables=16,
+    )
 
 
 def q_text_tokens(spark, sf_dir):
@@ -542,9 +576,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_pairs_blocked": q_simhash_pairs_blocked,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_topk_full_probe": q_ivf_topk_full_probe,
         "embedding_neardup": q_embedding_neardup,
+        "bucketed_neardup": q_bucketed_neardup,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -595,6 +631,21 @@ def _dedup_sql_blocks() -> dict[str, str]:
     """
     return {"sh": sh, "ix": ix, "sig": sig, "bands": bands, "cands": cands,
             "inter": inter, "sizes": sizes, "jacc": jacc}
+
+
+def _neardup_oracle(threshold: float) -> str:
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) *
+                      sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        FROM e a, e b
+        WHERE a.vec_id < b.vec_id
+          AND round(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) *
+                     sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
+    """
 
 
 def _pipeline_oracles() -> dict[str, str]:
@@ -658,7 +709,11 @@ def _pipeline_oracles() -> dict[str, str]:
                    sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS fp
             FROM bits GROUP BY 1
         """,
-        "simhash_pairs": f"""
+        # one all-pairs SQL oracle shared by the quadratic kernel AND the
+        # pigeonhole-blocked path: the gate proves blocked == exhaustive
+        **dict.fromkeys(
+            ["simhash_pairs", "simhash_pairs_blocked"],
+            f"""
             WITH toks AS (
               SELECT DISTINCT doc_id, {hash60_sql('t')} AS h
               FROM (SELECT doc_id, unnest({tokens_expr}) AS t FROM documents)
@@ -675,8 +730,9 @@ def _pipeline_oracles() -> dict[str, str]:
             SELECT a.doc_id AS a, b.doc_id AS b,
                    bit_count(xor(a.f, b.f)) AS hamming
             FROM fp a, fp b
-            WHERE a.doc_id < b.doc_id AND bit_count(xor(a.f, b.f)) <= 20
+            WHERE a.doc_id < b.doc_id AND bit_count(xor(a.f, b.f)) <= 3
         """,
+        ),
         "ann_cosine_topk": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
                  q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
@@ -702,18 +758,11 @@ def _pipeline_oracles() -> dict[str, str]:
                    ) AS rank FROM scored)
             SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
         """,
-        "embedding_neardup": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-            SELECT a.vec_id AS a, b.vec_id AS b,
-                   round(list_dot_product(a.v, b.v) /
-                         (sqrt(list_dot_product(a.v, a.v)) *
-                          sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-            FROM e a, e b
-            WHERE a.vec_id < b.vec_id
-              AND round(list_dot_product(a.v, b.v) /
-                        (sqrt(list_dot_product(a.v, a.v)) *
-                         sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
-        """,
+        "embedding_neardup": _neardup_oracle(0.3),
+        # brute-force SQL oracle for the LSH-bucketed path: at the
+        # contract's full-recall config the bucketed result is exactly
+        # the all-pairs result
+        "bucketed_neardup": _neardup_oracle(0.45),
         "text_tokens": f"""
             SELECT doc_id, length(text) AS n_chars,
                    len({tokens_expr}) AS n_tokens,

@@ -206,16 +206,70 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = 
 def simhash_pairs(fp: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs by hamming distance over fingerprints.
 
-    All-pairs comparison -- correct for oracle checking; the scale path
-    blocks on fingerprint bytes (split fp into max_hamming+1 segments,
-    join on segment equality: pigeonhole guarantees recall) before the
-    bit_count filter."""
+    All-pairs comparison -- the quadratic ORACLE KERNEL (cheap only at
+    fixture scale); production uses `simhash_pairs_blocked`, which is
+    EXACTLY equal by the pigeonhole argument and joins instead of
+    crossing. Both are contract entries sharing the all-pairs SQL
+    oracle (the same proof pattern as ivf_topk_full_probe)."""
     a = fp.select(F.col(id_col).alias("a"), F.col("fp").alias("fp_a"))
     b = fp.select(F.col(id_col).alias("b"), F.col("fp").alias("fp_b"))
     return (
         a.crossJoin(b)
         .where(F.col("a") < F.col("b"))
         .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def _fp_segments(n_seg: int) -> list[tuple[int, int, int]]:
+    """(seg_idx, start_bit, mask) covering SIMHASH_BITS bits in n_seg
+    near-equal contiguous spans."""
+    base, rem = divmod(SIMHASH_BITS, n_seg)
+    out, start = [], 0
+    for j in range(n_seg):
+        ln = base + (1 if j < rem else 0)
+        out.append((j, start, (1 << ln) - 1))
+        start += ln
+    return out
+
+
+def simhash_pairs_blocked(
+    fp: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Pigeonhole segment-block join -- the 100TB path, EXACT (not
+    approximate): split the 60-bit fingerprint into max_hamming+1
+    contiguous segments; two fingerprints within hamming <= r differ in
+    at most r bit positions, so at least one of the r+1 segments is
+    bit-identical (pigeonhole). Candidates are therefore pairs equal on
+    (segment_idx, segment_value) -- a shuffle equi-join with an (r+1)x
+    row explode, never a cross join -- and the exact bit_count verify
+    runs only on candidates. Recall is 1.0 by construction; equality
+    with the all-pairs kernel is enforced by the shared oracle."""
+    n_seg = max_hamming + 1
+    segs = F.array(*[
+        F.struct(
+            F.lit(j).alias("s"),
+            F.shiftright(F.col("fp"), start).bitwiseAND(F.lit(mask)).alias("seg"),
+        )
+        for j, start, mask in _fp_segments(n_seg)
+    ])
+    e = (
+        fp.select(id_col, "fp", F.explode(segs).alias("g"))
+        .select(id_col, "fp", F.col("g.s").alias("s"), F.col("g.seg").alias("seg"))
+    )
+    a = e.select(F.col(id_col).alias("a"), F.col("fp").alias("fp_a"), "s", "seg")
+    b = e.select(F.col(id_col).alias("b"), F.col("fp").alias("fp_b"), "s", "seg")
+    cands = (
+        a.join(b, on=["s", "seg"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "fp_a", "fp_b")
+        .distinct()  # a pair may agree on several segments
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        )
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )

@@ -98,6 +98,19 @@ def neardup_pairs(
     )
 
 
+def _bucket_expr(vec: Column, n_planes: int, dim: int, seed: int) -> Column:
+    """Sign-bit bucket id for one deterministically-seeded plane set,
+    packed into a long -- pure codegen (array literals + fold)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[j]])
+        bit = F.when(_dot(vec, plane) >= 0, 1).otherwise(0).cast("long")
+        bucket = bucket + F.shiftleft(bit, j)
+    return bucket
+
+
 def hyperplane_buckets(
     embeddings: DataFrame,
     n_planes: int = 16,
@@ -110,15 +123,11 @@ def hyperplane_buckets(
     a long). Deterministic planes from a fixed seed, embedded as array
     literals so the whole computation stays in codegen -- the scale path
     that turns the quadratic cross join into a per-bucket kernel."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
     e = _as_double(embeddings, vec_col)
-    bucket = F.lit(0).cast("long")
-    for j in range(n_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[j]])
-        bit = F.when(_dot(F.col(vec_col), plane) >= 0, 1).otherwise(0).cast("long")
-        bucket = bucket + F.shiftleft(bit, j)
-    return e.select(id_col, vec_col, bucket.alias("bucket"))
+    return e.select(
+        id_col, vec_col,
+        _bucket_expr(F.col(vec_col), n_planes, dim, seed).alias("bucket"),
+    )
 
 
 def ivf_topk(
@@ -193,22 +202,45 @@ def bucketed_neardup(
     embeddings: DataFrame,
     threshold: float = 0.9,
     n_planes: int = 8,
+    n_tables: int = 1,
     dim: int = 64,
+    seed: int = 11,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN near-dup: hyperplane bucket -> within-bucket pairs -> cosine.
-
-    Approximate (misses cross-bucket pairs, P(split) grows with angle);
-    recall is tested against the brute-force baseline in pytest."""
-    b = hyperplane_buckets(embeddings, n_planes, dim, id_col=id_col, vec_col=vec_col)
-    a = b.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
-    c = b.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
-    return (
-        a.join(c, "bucket")
+    """ANN near-dup: hyperplane buckets -> within-bucket pairs -> cosine
+    verify. `n_tables` OR-amplifies recall: each table hashes with an
+    independent (deterministically seeded) plane set, candidates are the
+    UNION of same-bucket pairs across tables, so a pair is missed only
+    if every table splits it -- P(miss) = (1 - p_agree^n_planes)^n_tables.
+    The join key is (table, bucket): one shuffle equi-join with an
+    n_tables-x row explode, never a cross join; distinct-candidates
+    before the cosine fold keeps the verify linear in candidates.
+    Low-threshold full-recall configs are proven exactly equal to the
+    all-pairs kernel by the shared oracle; production configs get a
+    pytest recall bound."""
+    e = _as_double(embeddings, vec_col)
+    tables = F.array(*[
+        F.struct(
+            F.lit(t).alias("t"),
+            _bucket_expr(F.col(vec_col), n_planes, dim, seed + 1000 * t).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ])
+    hashed = (
+        e.select(id_col, vec_col, F.explode(tables).alias("g"))
+        .select(id_col, vec_col, F.col("g.t").alias("t"), F.col("g.bucket").alias("bucket"))
+    )
+    a = hashed.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "t", "bucket")
+    c = hashed.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "t", "bucket")
+    cands = (
+        a.join(c, on=["t", "bucket"])
         .where(F.col("a") < F.col("b"))
-        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .select("a", "b", "va", "vb")
+        .distinct()
+    )
+    return (
+        cands.withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
         .where(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
-        .distinct()
     )

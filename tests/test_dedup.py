@@ -84,3 +84,27 @@ def test_jaccard_max_df_guard(spark, docs):
     strict = jaccard_pairs(sh, threshold=0.9).count()
     with_cap = jaccard_pairs(sh, threshold=0.9, max_df=35).count()
     assert with_cap <= strict + 5  # cap only removes evidence, roughly monotone
+
+
+def test_simhash_blocked_equals_allpairs(spark, docs):
+    """Pigeonhole guarantee: the segment-block equi-join must return
+    EXACTLY the all-pairs result at the same max_hamming (not a recall
+    bound -- set equality), at several radii including non-divisible
+    segment splits (60 % (r+1) != 0)."""
+    from prom_tsdb_copyer_spark.operators.dedup import simhash_pairs_blocked
+
+    fp = simhash_fingerprints(docs).cache()
+    for r in (0, 3, 6):
+        allp = {tuple(x) for x in simhash_pairs(fp, max_hamming=r).collect()}
+        blk = {tuple(x) for x in simhash_pairs_blocked(fp, max_hamming=r).collect()}
+        assert blk == allp, f"r={r}: blocked != all-pairs"
+
+
+def test_simhash_blocked_plan_has_no_cross_join(spark, docs):
+    from prom_tsdb_copyer_spark.operators.dedup import simhash_pairs_blocked
+
+    plan = simhash_pairs_blocked(
+        simhash_fingerprints(docs), max_hamming=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -68,3 +68,17 @@ def test_buckets_deterministic(spark, emb):
     b1 = {r["vec_id"]: r["bucket"] for r in hyperplane_buckets(emb, 8).collect()}
     b2 = {r["vec_id"]: r["bucket"] for r in hyperplane_buckets(emb, 8).collect()}
     assert b1 == b2
+
+
+def test_multitable_bucketed_recall(spark, emb):
+    """OR-amplification: at a moderate threshold (where single-table
+    bucketing misses pairs) the multi-table union must reach full recall
+    on this fixture, and its plan must stay an equi-join."""
+    brute = {(r["a"], r["b"]) for r in neardup_pairs(emb, 0.5).collect()}
+    multi = bucketed_neardup(emb, 0.5, n_planes=2, n_tables=16)
+    got = {(r["a"], r["b"]) for r in multi.collect()}
+    assert brute, "fixture must contain pairs at this threshold"
+    assert brute <= got
+    plan = multi._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

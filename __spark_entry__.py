@@ -350,6 +350,48 @@ def q_approx_stats(spark, sf_dir):
     )
 
 
+def q_histogram_rollup(spark, sf_dir):
+    """F12 histogram value path (reference AppendHistogram,
+    copyer.go:117-122): synthesize single-sample histogram structs from
+    the float stream, then roll up per (series, 1h) by histogram merge
+    (count/sum/element-wise cumulative buckets) -- the genuine struct/
+    array path; the final select flattens buckets to scalar columns so
+    the oracle hash pins every bucket."""
+    from prom_tsdb_copyer_spark.operators.histogram import (
+        hist_rollup,
+        make_histogram,
+    )
+
+    h = make_histogram(_events(spark, sf_dir))  # bounds (10, 20, 40, +Inf)
+    t = hist_rollup(h, SERIES, "1h", n_buckets=4)
+    return t.select(
+        *SERIES, "bucket_ms", "hist_count", "hist_sum",
+        F.col("hist_buckets")[0].alias("le_10"),
+        F.col("hist_buckets")[1].alias("le_20"),
+        F.col("hist_buckets")[2].alias("le_40"),
+        F.col("hist_buckets")[3].alias("le_inf"),
+    )
+
+
+def q_histogram_quantile(spark, sf_dir):
+    """Read-side histogram_quantile over the 1h->1d histogram cascade:
+    p50 by linear interpolation inside the first bucket crossing the
+    rank (PromQL semantics; +Inf bucket returns its lower bound)."""
+    from prom_tsdb_copyer_spark.operators.histogram import (
+        hist_quantile,
+        hist_reaggregate,
+        hist_rollup,
+        make_histogram,
+    )
+
+    h = make_histogram(_events(spark, sf_dir))
+    t1h = hist_rollup(h, SERIES, "1h", n_buckets=4)
+    t1d = hist_reaggregate(t1h, SERIES, "1d", n_buckets=4)
+    return hist_quantile(t1d, 0.5).select(
+        *SERIES, "bucket_ms", "hist_count", "quantile"
+    )
+
+
 def q_agg_q1(spark, sf_dir):
     """Generic OLAP agg (TPC-H Q1 shape) -- demonstrates the engine's
     group-agg surface beyond the time-series core."""
@@ -568,6 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_series_per_day": q_distinct_series_per_day,
         "cube_counts": q_cube_counts,
         "approx_stats": q_approx_stats,
+        "histogram_rollup": q_histogram_rollup,
+        "histogram_quantile": q_histogram_quantile,
         "agg_q1": q_agg_q1,
         "dedup_exact": q_dedup_exact,
         "dedup_apply": q_dedup_apply,
@@ -1003,6 +1047,43 @@ def _core_oracles() -> dict[str, str]:
                    (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms,
                    count(*) AS cnt, round(sum(value), 3) AS sum_val
             FROM events GROUP BY CUBE (1, 2)
+        """,
+        "histogram_rollup": f"""
+            SELECT user_id, event_type,
+                   (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS bucket_ms,
+                   count(*) AS hist_count,
+                   round(sum(value), 3) AS hist_sum,
+                   sum(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS le_10,
+                   sum(CASE WHEN value <= 20 THEN 1 ELSE 0 END) AS le_20,
+                   sum(CASE WHEN value <= 40 THEN 1 ELSE 0 END) AS le_40,
+                   count(*) AS le_inf
+            FROM events GROUP BY 1, 2, 3
+        """,
+        # interpolation arithmetic mirrors operators/histogram.py
+        # term-for-term (left-assoc mul/div on exact ints + literal
+        # bounds) so the float results are bit-identical
+        "histogram_quantile": f"""
+            WITH t AS (
+              SELECT user_id, event_type,
+                     (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms,
+                     count(*) AS c,
+                     sum(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS b0,
+                     sum(CASE WHEN value <= 20 THEN 1 ELSE 0 END) AS b1,
+                     sum(CASE WHEN value <= 40 THEN 1 ELSE 0 END) AS b2
+              FROM events GROUP BY 1, 2, 3)
+            SELECT user_id, event_type, bucket_ms, c AS hist_count,
+                   round(CASE
+                     WHEN b0 >= 0.5 * c THEN
+                       0.0 + (10.0 - 0.0) * (0.5 * c - 0)
+                             / (CASE WHEN b0 - 0 > 0 THEN b0 ELSE 1 END)
+                     WHEN b1 >= 0.5 * c THEN
+                       10.0 + (20.0 - 10.0) * (0.5 * c - b0)
+                             / (CASE WHEN b1 - b0 > 0 THEN b1 - b0 ELSE 1 END)
+                     WHEN b2 >= 0.5 * c THEN
+                       20.0 + (40.0 - 20.0) * (0.5 * c - b1)
+                             / (CASE WHEN b2 - b1 > 0 THEN b2 - b1 ELSE 1 END)
+                     ELSE 40.0 END, 6) AS quantile
+            FROM t
         """,
         "agg_q1": """
             SELECT l_returnflag, l_linestatus,

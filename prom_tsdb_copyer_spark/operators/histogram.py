@@ -1,0 +1,141 @@
+"""Native-histogram sample path (SURVEY.md §2.2 F12, closing the one
+reference data path with no engine equivalent in round 1).
+
+The reference copies histogram samples via a dedicated append on the
+value-type dispatch (/root/reference/copyer.go:117-122: ValHistogram /
+ValFloatHistogram -> AppendHistogram), i.e. histograms are first-class
+samples, not an error. Here the statically-typed analog is a struct
+column
+
+    hist: struct<count: bigint, sum: double, buckets: array<bigint>>
+
+where ``buckets[i]`` is the cumulative count of observations <=
+``bounds[i]`` and the last element is the +Inf bucket (== count), the
+classic Prometheus layout. Everything below is pure DataFrame algebra:
+histograms AGGREGATE by element-wise bucket addition, so tier rollups
+and cascades work exactly like the float path -- a fixed, schema-known
+bucket count means the element-wise sum is a static ``array(sum(b[0]),
+..., sum(b[n]))`` projection, all JVM, no explode and no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .windows import TIER_MS, bucket_ms_col
+
+#: default observation-bucket upper bounds (+Inf bucket is implicit last)
+DEFAULT_BOUNDS: tuple[float, ...] = (10.0, 20.0, 40.0)
+
+
+def make_histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    bounds: tuple[float, ...] = DEFAULT_BOUNDS,
+    hist_col: str = "hist",
+) -> DataFrame:
+    """Observation -> single-sample histogram struct (count=1, sum=value,
+    cumulative le-buckets). The ingest shape a histogram-native source
+    would deliver directly; used by tests/bench to synthesize histogram
+    streams deterministically from float samples."""
+    v = F.col(value_col)
+    buckets = F.array(
+        *[F.when(v <= b, 1).otherwise(0).cast("long") for b in bounds],
+        F.lit(1).cast("long"),  # +Inf
+    )
+    return df.withColumn(
+        hist_col,
+        F.struct(
+            F.lit(1).cast("long").alias("count"),
+            v.cast("double").alias("sum"),
+            buckets.alias("buckets"),
+        ),
+    )
+
+
+def _bucket_sums(hist_col: str, n_buckets: int) -> Column:
+    """Element-wise sum over a static-length bucket array -- one JVM
+    aggregate per slot, reassembled into an array (no explode)."""
+    return F.array(
+        *[F.sum(F.col(hist_col)["buckets"][i]) for i in range(n_buckets)]
+    )
+
+
+def hist_rollup(
+    df: DataFrame,
+    series_cols: list[str],
+    tier: str | int,
+    n_buckets: int,
+    hist_col: str = "hist",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per (series, tier bucket): histogram merge = sum of counts, sum of
+    sums, element-wise bucket sums (AppendHistogram's batch analog;
+    histogram merge is associative+commutative, so the shuffle combines
+    partials map-side like any algebraic aggregate)."""
+    tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
+    return (
+        df.withColumn("bucket_ms", bucket_ms_col(F.col(ts_col), tier_ms))
+        .groupBy(*series_cols, "bucket_ms")
+        .agg(
+            F.sum(F.col(hist_col)["count"]).alias("hist_count"),
+            F.round(F.sum(F.col(hist_col)["sum"]), 3).alias("hist_sum"),
+            _bucket_sums(hist_col, n_buckets).alias("hist_buckets"),
+        )
+    )
+
+
+def hist_reaggregate(
+    tier_df: DataFrame,
+    series_cols: list[str],
+    tier: str | int,
+    n_buckets: int,
+) -> DataFrame:
+    """Coarser tier from a finer histogram tier (cascade leg): refloor
+    bucket_ms and merge -- exact because histogram merge is associative."""
+    tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
+    return (
+        tier_df.withColumn(
+            "bucket_ms",
+            (F.floor(F.col("bucket_ms") / tier_ms) * tier_ms).cast("long"),
+        )
+        .groupBy(*series_cols, "bucket_ms")
+        .agg(
+            F.sum("hist_count").alias("hist_count"),
+            F.round(F.sum("hist_sum"), 3).alias("hist_sum"),
+            F.array(
+                *[F.sum(F.col("hist_buckets")[i]) for i in range(n_buckets)]
+            ).alias("hist_buckets"),
+        )
+    )
+
+
+def hist_quantile(
+    tier_df: DataFrame,
+    q: float,
+    bounds: tuple[float, ...] = DEFAULT_BOUNDS,
+    out_col: str = "quantile",
+) -> DataFrame:
+    """PromQL histogram_quantile analog over a rolled-up histogram tier:
+    find the first cumulative bucket crossing rank q*count and linearly
+    interpolate inside it (lower bound of the first bucket is 0; the +Inf
+    bucket returns its lower bound, as PromQL does). Pure column algebra
+    from exact integer counts and literal bounds -> deterministic across
+    engines, oracle-expressible as nested CASE."""
+    rank = F.lit(q) * F.col("hist_count")
+    lo_bound, expr = F.lit(0.0), None
+    prev_cum = F.lit(0).cast("long")
+    for i, b in enumerate(bounds):
+        cum = F.col("hist_buckets")[i]
+        in_bucket = (
+            lo_bound
+            + (F.lit(b) - lo_bound)
+            * (rank - prev_cum)
+            / F.when(cum - prev_cum > 0, cum - prev_cum).otherwise(F.lit(1))
+        )
+        cond = cum >= rank
+        expr = F.when(cond, in_bucket) if expr is None else expr.when(cond, in_bucket)
+        lo_bound, prev_cum = F.lit(float(b)), cum
+    expr = expr.otherwise(lo_bound)  # +Inf bucket -> its lower bound
+    return tier_df.withColumn(out_col, F.round(expr, 6))

@@ -1,0 +1,131 @@
+"""Native-histogram sample path (F12; reference AppendHistogram,
+copyer.go:117-122): merge algebra, cascade path-independence, quantile
+semantics, and the ingest value-type dispatch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prom_tsdb_copyer_spark.operators.histogram import (
+    DEFAULT_BOUNDS,
+    hist_quantile,
+    hist_reaggregate,
+    hist_rollup,
+    make_histogram,
+)
+from prom_tsdb_copyer_spark.sources.ingest import (
+    UnsupportedValueTypeError,
+    validate_samples,
+    value_kind,
+)
+
+SERIES = ["conv_id", "role", "tool"]
+N_BUCKETS = len(DEFAULT_BOUNDS) + 1
+
+
+@pytest.fixture(scope="module")
+def hists(transcripts):
+    return make_histogram(transcripts).cache()
+
+
+def test_rollup_matches_direct_aggregates(spark, hists):
+    """Histogram merge must reproduce the plain float aggregates: count,
+    sum, and each cumulative bucket == count of values <= bound."""
+    t = hist_rollup(hists, SERIES, "1h", N_BUCKETS)
+    direct = (
+        hists.withColumn(
+            "bucket_ms",
+            (F.floor(F.unix_millis(F.col("ts").cast("timestamp")) / 3600000)
+             * 3600000).cast("long"),
+        )
+        .groupBy(*SERIES, "bucket_ms")
+        .agg(
+            F.count("*").alias("c"),
+            F.round(F.sum("value"), 3).alias("s"),
+            *[
+                F.sum(F.when(F.col("value") <= b, 1).otherwise(0)).alias(f"b{i}")
+                for i, b in enumerate(DEFAULT_BOUNDS)
+            ],
+        )
+    )
+    # dict-compare in python: series labels contain nulls (tool), which
+    # an equi-join would silently drop
+    got = {
+        tuple(r[c] for c in [*SERIES, "bucket_ms"]): (
+            r["hist_count"], r["hist_sum"], tuple(r["hist_buckets"])
+        )
+        for r in t.collect()
+    }
+    want = {
+        tuple(r[c] for c in [*SERIES, "bucket_ms"]): (
+            r["c"], r["s"],
+            tuple([*(r[f"b{i}"] for i in range(len(DEFAULT_BOUNDS))), r["c"]]),
+        )
+        for r in direct.collect()
+    }
+    assert set(got) == set(want)
+    for k, (c, s, buckets) in want.items():
+        gc, gs, gb = got[k]
+        assert gc == c and gb == buckets and abs(gs - s) < 1e-9
+
+
+def test_cascade_path_independence(spark, hists):
+    """1d via 1h reagg == 1d rolled directly from samples (histogram
+    merge is associative -- the M2 invariant on the histogram path)."""
+    via_1h = hist_reaggregate(
+        hist_rollup(hists, SERIES, "1h", N_BUCKETS), SERIES, "1d", N_BUCKETS
+    )
+    direct = hist_rollup(hists, SERIES, "1d", N_BUCKETS)
+    def canon(rows):
+        return {
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in rows
+        }
+
+    a = canon(via_1h.collect())
+    b = canon(direct.collect())
+    assert a == b
+
+
+def test_quantile_brackets_and_monotonicity(spark, hists):
+    """p50 must land in [0, max bound], be <= p99, and for buckets whose
+    cumulative count crosses rank in the first bucket stay <= bounds[0]."""
+    t = hist_rollup(hists, SERIES, "1d", N_BUCKETS)
+    q50 = hist_quantile(t, 0.5, out_col="p50")
+    q99 = hist_quantile(q50, 0.99, out_col="p99")
+    rows = q99.select("p50", "p99").collect()
+    assert rows
+    hi = DEFAULT_BOUNDS[-1]
+    for r in rows:
+        assert 0.0 <= r["p50"] <= hi
+        assert r["p50"] <= r["p99"] + 1e-9
+
+
+def test_quantile_exact_on_known_histogram(spark):
+    """Hand-checkable case: 10 obs, 4 in (<=10], 8 cumulative in (<=20]
+    -> p50 rank=5 crosses in bucket 2: 10 + 10*(5-4)/4 = 12.5."""
+    df = spark.createDataFrame(
+        [("s", 0, 10, 5.0, [4, 8, 10, 10])],
+        "k string, bucket_ms long, hist_count long, hist_sum double, "
+        "hist_buckets array<bigint>",
+    )
+    got = hist_quantile(df, 0.5).collect()[0]["quantile"]
+    assert got == pytest.approx(12.5, abs=1e-9)
+
+
+def test_ingest_dispatch(spark):
+    base = spark.createDataFrame(
+        [("c", "user", "t", 1.5)], "conv_id string, role string, tool string, value double"
+    ).withColumn("ts", F.current_timestamp())
+    hist = make_histogram(base).drop("value").withColumnRenamed("hist", "value")
+    assert value_kind(base) == "float"
+    assert value_kind(hist) == "histogram"
+    # histogram structs pass the gate untouched
+    validate_samples(hist, ["conv_id", "role", "tool"])
+    # arbitrary structs still raise, like the reference's unknown branch
+    bad = base.withColumn("value", F.struct(F.lit(1).alias("x")))
+    with pytest.raises(UnsupportedValueTypeError):
+        value_kind(bad)
+    with pytest.raises(UnsupportedValueTypeError):
+        validate_samples(bad, ["conv_id", "role", "tool"])

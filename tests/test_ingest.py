@@ -26,13 +26,14 @@ def test_int_value_coerced(spark, transcripts):
         validate_samples(df, SERIES, coerce=False)
 
 
-def test_histogram_like_rejected(spark, transcripts):
-    """Struct-valued samples = the native-histogram case -> rejected
-    (ErrUnsupportValueType analog)."""
+def test_partial_struct_rejected(spark, transcripts):
+    """Struct values that are NOT the histogram shape (missing buckets)
+    -> rejected (ErrUnsupportValueType analog); the full histogram
+    struct is accepted -- dispatch covered in test_histogram.py."""
     df = transcripts.withColumn(
         "value", F.struct(F.lit(1.0).alias("sum"), F.lit(2).alias("count"))
     )
-    with pytest.raises(UnsupportedValueTypeError, match="histograms"):
+    with pytest.raises(UnsupportedValueTypeError):
         validate_samples(df, SERIES)
 
 

@@ -35,19 +35,32 @@ def compact_partitions(
     import shutil
 
     root = Path(tier_path)
+    # crash hygiene: stale staging/backup dirs from an interrupted pass.
+    # Both are dot-prefixed so they can NEVER match the part_day=* glob
+    # (a reader or re-run between the two renames must not double-count);
+    # a leftover backup means the previous swap didn't finish -- restore
+    # it if the live partition vanished, else drop it.
+    for stale in sorted(root.glob(".compact-tmp.part_day=*")):
+        shutil.rmtree(stale)
+    for backup in sorted(root.glob(".old.part_day=*")):
+        live = root / backup.name.removeprefix(".old.")
+        if not live.exists():
+            backup.rename(live)  # crash between the renames: roll back
+        else:
+            shutil.rmtree(backup)
     done: dict[str, int] = {}
     for part in sorted(root.glob("part_day=*")):
         files = list(part.glob("*.parquet"))
         if len(files) < min_files_to_compact:  # 1-block passthrough quirk
             continue
-        staging = part.with_name(part.name + ".compact-tmp")
+        staging = part.with_name(".compact-tmp." + part.name)
         (
             spark.read.parquet(str(part))
             .coalesce(target_files_per_partition)
             .write.mode("overwrite")
             .parquet(str(staging))
         )
-        backup = part.with_name(part.name + ".old")
+        backup = part.with_name(".old." + part.name)
         part.rename(backup)
         staging.rename(part)
         shutil.rmtree(backup)  # M4: delete source after merge

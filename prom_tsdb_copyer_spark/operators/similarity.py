@@ -130,6 +130,66 @@ def hyperplane_buckets(
     )
 
 
+def train_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """k-means centroid training (Lloyd iterations) for IVF, entirely in
+    DataFrame algebra: init = deterministic corpus sample (lowest ids),
+    then per iteration (a) assign each vector to its max-cosine centroid
+    via a broadcast of the n_cells x dim literal table + row_number
+    argmax, (b) update each centroid to the element-wise mean of its
+    members (posexplode -> groupBy(cell, pos).avg -> rebuild). Only the
+    n_cells x dim centroid matrix is ever collected -- per iteration one
+    shuffle over the corpus, the centroids travel as literals/broadcast.
+    Cosine assignment == spherical k-means (scale of the mean doesn't
+    change the argmax). Empty cells keep their previous centroid."""
+    from pyspark.sql import Window
+
+    corpus = _as_double(embeddings, vec_col)
+    cents = [
+        list(r[vec_col])
+        for r in corpus.orderBy(id_col).limit(n_cells).collect()
+    ]
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cell"))
+    for _ in range(n_iter):
+        cent_lits = F.array(*[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("cvec"),
+            )
+            for i, c in enumerate(cents)
+        ])
+        assigned = (
+            corpus.select(id_col, vec_col, F.explode(cent_lits).alias("g"))
+            .select(
+                id_col, vec_col, F.col("g.cell").alias("cell"),
+                cosine_col(F.col(vec_col), F.col("g.cvec")).alias("csim"),
+            )
+            .withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+        )
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ).alias("pm")
+            )
+            .select("cell", F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"))
+            .collect()
+        )
+        for r in means:
+            cents[r["cell"]] = list(r["cvec"])
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -138,14 +198,17 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: str | list[list[float]] = "sample",
 ) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus into cells (centroids =
-    deterministic sample of corpus vectors -- a 1-iteration kmeans
-    stand-in, swap for trained centroids at scale), assign each vector
-    to its best cell, then search each query only in its n_probe nearest
-    cells. Turns the brute-force cross join into
-    |queries| x (n_probe/n_cells) x |corpus| work; recall tested vs the
-    exact baseline in pytest.
+    """IVF-style ANN: coarse-quantize the corpus into cells, assign each
+    vector to its best cell, then search each query only in its n_probe
+    nearest cells. `centroids`: 'sample' (deterministic lowest-id corpus
+    sample -- the cheap init), 'kmeans' (train_centroids Lloyd
+    iterations -- the production choice; recall gate in pytest), or an
+    explicit matrix. Turns the brute-force cross join into
+    |queries| x (n_probe/n_cells) x |corpus| work; with n_probe ==
+    n_cells the result is EXACTLY brute force regardless of centroids
+    (cells partition the corpus), which is the contract oracle proof.
 
     Plan shape: centroids broadcast (tiny), cell assignment in codegen,
     equi-join on cell id -- the scan of each cell is the only data
@@ -153,11 +216,20 @@ def ivf_topk(
     from pyspark.sql import Window
 
     corpus = _as_double(embeddings, vec_col)
-    # deterministic centroids: lowest n_cells ids (a fixed corpus sample)
-    cents = (
-        corpus.orderBy(id_col).limit(n_cells)
-        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
-    )
+    if centroids == "kmeans":
+        centroids = train_centroids(
+            embeddings, n_cells, id_col=id_col, vec_col=vec_col
+        )
+    if isinstance(centroids, str):  # 'sample': lowest n_cells ids
+        cents = (
+            corpus.orderBy(id_col).limit(n_cells)
+            .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
+        )
+    else:
+        cents = corpus.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            f"cell long, cvec array<double>",
+        )
     # assign corpus vectors to their single best cell
     assign_w = Window.partitionBy(id_col).orderBy(
         F.desc("csim"), F.asc("cell")

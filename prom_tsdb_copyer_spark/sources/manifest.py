@@ -135,22 +135,22 @@ class ResumableRollup:
             sliced = df.where(
                 time_range_pred(df, self.job.ts_col, w.start_ms, w.end_ms)
             )
-            rows_in = sliced.count()
-            run_and_write_rollups(
-                spark, sliced, self.job, self.out_root,
-                range_ms=(w.start_ms, w.end_ms),
-            )
-            rows_out = {}
-            tier_dirs = [f"tier={t}" for t in self.job.tiers] + [
-                f"chunks={t}" for t in self.job.chunk_tiers
-            ] if self.collect_counts else []
-            for d_ in tier_dirs:
-                path = os.path.join(self.out_root, d_)
-                rows_out[d_.split("=", 1)[-1] if d_.startswith("tier=") else d_] = (
-                    spark.read.parquet(path)
-                    .where(F.col("bucket_ms").between(w.start_ms, w.end_ms))
-                    .count()
+            try:
+                rows_in, rows_out = self._run_window(spark, sliced, w)
+            except Exception as e:  # record the failure, then propagate
+                write_entry(
+                    self.out_root,
+                    WindowEntry(
+                        window_start_ms=w.start_ms,
+                        window_end_ms=w.end_ms,
+                        status="failed",
+                        duration_ms=int((time.monotonic() - t0) * 1000),
+                        source_fingerprint=fp,
+                        run_id=self.run_id,
+                        error=f"{type(e).__name__}: {e}"[:500],
+                    ),
                 )
+                raise
             write_entry(
                 self.out_root,
                 WindowEntry(
@@ -166,3 +166,50 @@ class ResumableRollup:
             )
             done += 1
         return {"done": done, "skipped": skipped, "windows": len(windows)}
+
+    def _run_window(self, spark, sliced: DataFrame, w) -> tuple[int, dict]:
+        """One window's write + bookkeeping. rows_in is derived from the
+        written finest tier's sum(cnt) -- each raw sample lands in exactly
+        one finest bucket, so sum(cnt) == input rows WITHOUT the extra
+        full pass over the raw slice the old `sliced.count()` paid (at
+        100TB the raw slice is the expensive side; the tier is ~1000x
+        smaller). One read-back per tier only when collect_counts."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from ..operators.windows import TIER_MS
+        from ..plans.copy_job import run_and_write_rollups
+
+        def in_window(tier) -> F.Column:
+            # widen the lower bound to the tier's bucket grid: a clamped
+            # first/last window (non-aligned global extent) still owns the
+            # partial leading bucket its samples landed in
+            t_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
+            lo = (w.start_ms // t_ms) * t_ms
+            return F.col("bucket_ms").between(lo, w.end_ms)
+
+        run_and_write_rollups(
+            spark, sliced, self.job, self.out_root,
+            range_ms=(w.start_ms, w.end_ms), collect_counts=False,
+        )
+        finest = os.path.join(self.out_root, f"tier={self.job.tiers[0]}")
+        agg = (
+            spark.read.parquet(finest).where(in_window(self.job.tiers[0]))
+            .agg(F.sum("cnt").alias("s"), F.count("*").alias("c"))
+            .collect()[0]
+        )
+        rows_in = int(agg["s"] or 0)
+        rows_out = {}
+        if self.collect_counts:
+            rows_out[str(self.job.tiers[0])] = int(agg["c"])
+            rest = [("tier", t) for t in self.job.tiers[1:]] + [
+                ("chunks", t) for t in self.job.chunk_tiers
+            ]
+            for kind, t in rest:
+                path = os.path.join(self.out_root, f"{kind}={t}")
+                key = str(t) if kind == "tier" else f"chunks={t}"
+                rows_out[key] = (
+                    spark.read.parquet(path).where(in_window(t)).count()
+                )
+        return rows_in, rows_out

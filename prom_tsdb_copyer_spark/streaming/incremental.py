@@ -103,25 +103,76 @@ def streaming_sessions(
     )
 
 
+def write_epoch_idempotent(
+    batch_df: DataFrame, out_path: str, epoch_id: int
+) -> None:
+    """Idempotent foreachBatch sink. Structured Streaming's foreachBatch
+    is AT-LEAST-once: a crash between the parquet write and the
+    checkpoint commit re-delivers the same epoch on restart, and a blind
+    mode('append') would silently duplicate its rows. Protocol:
+
+      1. committed-epoch marker exists -> no-op (fast path)
+      2. stage the epoch under a dot-prefixed dir (invisible to any
+         `part_day=*` glob / spark.read of the table root)
+      3. delete any `epoch-<id>-*` files a half-finished retry left, then
+         move the staged files to DETERMINISTIC epoch-keyed names -- a
+         replay converges on the same targets instead of adding rows
+      4. atomic marker write LAST (tmp + os.replace)
+
+    This is the plain-parquet analog of a transactional sink commit; on
+    a real cluster the same logic rides the Iceberg/Delta commit instead
+    of driver-side renames."""
+    import json
+    import os
+    import shutil
+    from pathlib import Path
+
+    root = Path(out_path)
+    marker = root / "_epochs" / f"epoch-{epoch_id}.json"
+    if marker.exists():
+        return
+    staging = root / f".epoch-{epoch_id}.tmp"
+    shutil.rmtree(staging, ignore_errors=True)
+    if "bucket_ms" in batch_df.columns:
+        (
+            batch_df.withColumn(
+                "part_day", F.to_date(F.timestamp_millis(F.col("bucket_ms")))
+            )
+            .write.mode("overwrite")
+            .partitionBy("part_day")
+            .parquet(str(staging))
+        )
+        parts = sorted(staging.glob("part_day=*"))
+    else:  # session-shaped output: no fixed bucket grid to partition on
+        batch_df.write.mode("overwrite").parquet(str(staging))
+        parts = [staging]
+    prefix = f"epoch-{epoch_id:020d}-"
+    for old in root.rglob(f"{prefix}*.parquet"):  # half-finished retry
+        old.unlink()
+    n_moved = 0
+    for pdir in parts:
+        target = root / pdir.name if pdir != staging else root
+        target.mkdir(parents=True, exist_ok=True)
+        for f in sorted(pdir.glob("*.parquet")):
+            os.replace(f, target / f"{prefix}{n_moved:05d}.parquet")
+            n_moved += 1
+    shutil.rmtree(staging)
+    marker.parent.mkdir(parents=True, exist_ok=True)
+    tmp = marker.with_suffix(".tmp")
+    tmp.write_text(json.dumps({"epoch": epoch_id, "files": n_moved}))
+    os.replace(tmp, marker)
+
+
 def run_available_now(
     tier_df: DataFrame, out_path: str, checkpoint: str
 ):
     """Drain everything currently available into the tier table and stop
     (Trigger.AvailableNow): the streaming twin of one ResumableRollup
-    run. foreachBatch gives exactly-once-per-epoch parquet appends."""
+    run. Writes are exactly-once per epoch via write_epoch_idempotent
+    (marker-gated, deterministic file names -- retries converge)."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if "bucket_ms" in batch_df.columns:
-            (
-                batch_df.withColumn(
-                    "part_day", F.to_date(F.timestamp_millis(F.col("bucket_ms")))
-                )
-                .write.mode("append")
-                .partitionBy("part_day")
-                .parquet(out_path)
-            )
-        else:  # session-shaped output: no fixed bucket grid to partition on
-            batch_df.write.mode("append").parquet(out_path)
+        write_epoch_idempotent(batch_df, out_path, epoch_id)
 
     return (
         tier_df.writeStream.outputMode("append")

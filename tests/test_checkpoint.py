@@ -83,3 +83,39 @@ def test_rerun_skips_everything(spark, transcripts, tmp_path):
     ResumableRollup(job, root, DAY_MS).run(transcripts, lo, hi)
     stats = ResumableRollup(job, root, DAY_MS).run(transcripts, lo, hi)
     assert stats["done"] == 0 and stats["skipped"] == stats["windows"]
+
+
+def test_failed_window_records_manifest_entry(spark, transcripts, tmp_path, monkeypatch):
+    """A window that throws mid-run must leave a status='failed' entry
+    (lineage for the failure), and a clean re-run must recompute exactly
+    that window (failed entries never count as done)."""
+    import prom_tsdb_copyer_spark.plans.copy_job as cj
+
+    real = cj.run_and_write_rollups
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("disk on fire")
+        return real(*a, **k)
+
+    monkeypatch.setattr(cj, "run_and_write_rollups", boom)
+    lo, hi = time_extent(transcripts)
+    root = str(tmp_path / "f")
+    job = CopyJob(tiers=("1h",))
+    rr = ResumableRollup(job, root, DAY_MS, run_id="r-fail")
+    with pytest.raises(RuntimeError, match="disk on fire"):
+        rr.run(transcripts, lo, hi)
+    m = read_manifest(root)
+    failed = [e for e in m.values() if e.status == "failed"]
+    assert len(failed) == 1
+    assert "disk on fire" in failed[0].error
+    assert failed[0].run_id == "r-fail"
+
+    monkeypatch.setattr(cj, "run_and_write_rollups", real)
+    out = ResumableRollup(job, root, DAY_MS, run_id="r-resume").run(
+        transcripts, lo, hi
+    )
+    assert out["done"] >= 1  # the failed window (fingerprint miss may add more)
+    assert all(e.status == "done" for e in read_manifest(root).values())

@@ -86,3 +86,29 @@ def test_compaction_single_file_passthrough(spark, transcripts, tmp_path):
     assert done == {}
     for f, m in mtimes.items():
         assert os.stat(f).st_mtime_ns == m  # bytes untouched
+
+
+def test_compaction_crash_hygiene(spark, transcripts, tmp_path):
+    """Staging/backup dirs are dot-prefixed (never match the partition
+    glob) and a crash between the two renames is rolled back on the next
+    pass: the backup is restored if the live partition vanished."""
+    from prom_tsdb_copyer_spark.operators.compaction import compact_partitions
+    from prom_tsdb_copyer_spark.plans.copy_job import CopyJob, run_and_write_rollups
+
+    root = str(tmp_path / "t")
+    run_and_write_rollups(spark, transcripts, CopyJob(tiers=("1h",)), root,
+                          collect_counts=False)
+    tier = tmp_path / "t" / "tier=1h"
+    before = spark.read.parquet(str(tier)).count()
+    parts = sorted(tier.glob("part_day=*"))
+    assert parts
+    # simulate a crash between rename(backup) and rename(live)
+    victim = parts[0]
+    victim.rename(victim.with_name(".old." + victim.name))
+    # stale staging from another interrupted pass
+    (tier / (".compact-tmp." + parts[-1].name)).mkdir()
+    # readers between the renames never see the hidden dirs as partitions
+    assert spark.read.parquet(str(tier)).count() < before
+    compact_partitions(spark, str(tier))
+    assert spark.read.parquet(str(tier)).count() == before
+    assert not list(tier.glob(".compact-tmp.*")) and not list(tier.glob(".old.*"))

@@ -82,3 +82,62 @@ def test_multitable_bucketed_recall(spark, emb):
     plan = multi._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """8 well-separated gaussian clusters x 50 points: the regime IVF is
+    for (k-means can recover the cells; a corpus-sample init usually
+    can't)."""
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((8, 64)) * 4
+    rows = []
+    for i in range(400):
+        c = i % 8
+        rows.append((i, (centers[c] + 0.5 * rng.standard_normal(64)).tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _recall(spark, emb_df, centroids, n_cells=8, n_probe=2, k=3):
+    from prom_tsdb_copyer_spark.operators.similarity import ivf_topk
+
+    qs = emb_df.where(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb_df, qs, k=k).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb_df, qs, k=k, n_cells=n_cells, n_probe=n_probe,
+            centroids=centroids,
+        ).collect()
+    }
+    return len(exact & got) / len(exact)
+
+
+def test_kmeans_centroids_beat_sample(spark, clustered_emb):
+    """Trained IVF recall gate (n_probe << n_cells): kmeans centroids
+    must reach >= 0.9 recall@3 and must not be worse than the lowest-id
+    corpus-sample init they replace."""
+    r_sample = _recall(spark, clustered_emb, "sample")
+    r_kmeans = _recall(spark, clustered_emb, "kmeans")
+    assert r_kmeans >= 0.9, f"kmeans recall {r_kmeans}"
+    assert r_kmeans >= r_sample, (r_kmeans, r_sample)
+
+
+def test_full_probe_exact_any_centroids(spark, clustered_emb):
+    """n_probe == n_cells is exact for ANY centroid choice (cells
+    partition the corpus) -- the property the contract oracle leans on."""
+    from prom_tsdb_copyer_spark.operators.similarity import ivf_topk
+
+    qs = clustered_emb.where(F.col("vec_id") < 5)
+    exact = {tuple(r) for r in brute_force_topk(clustered_emb, qs, k=3).collect()}
+    for cent in ("sample", "kmeans"):
+        got = {
+            tuple(r)
+            for r in ivf_topk(
+                clustered_emb, qs, k=3, n_cells=8, n_probe=8, centroids=cent
+            ).collect()
+        }
+        assert got == exact, cent

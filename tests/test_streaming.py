@@ -134,3 +134,34 @@ def test_streaming_sessions_match_batch(spark, transcripts, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_epoch_write_idempotent(spark, transcripts, tmp_path):
+    """foreachBatch is at-least-once: replaying the same epoch (marker
+    present, marker deleted, or half-moved files) must never duplicate
+    rows."""
+    from pyspark.sql import functions as F
+
+    from prom_tsdb_copyer_spark.streaming.incremental import (
+        write_epoch_idempotent,
+    )
+
+    out = str(tmp_path / "tier")
+    batch = (
+        transcripts.limit(200)
+        .withColumn("bucket_ms", F.unix_millis(F.col("ts").cast("timestamp")))
+        .select("conv_id", "role", "bucket_ms", "value")
+    )
+    n = batch.count()
+    write_epoch_idempotent(batch, out, 7)
+    assert spark.read.parquet(out).count() == n
+    # marker present -> no-op
+    write_epoch_idempotent(batch, out, 7)
+    assert spark.read.parquet(out).count() == n
+    # marker lost (crash before commit) -> replay converges, no dupes
+    (tmp_path / "tier" / "_epochs" / "epoch-7.json").unlink()
+    write_epoch_idempotent(batch, out, 7)
+    assert spark.read.parquet(out).count() == n
+    # a second epoch appends
+    write_epoch_idempotent(batch, out, 8)
+    assert spark.read.parquet(out).count() == 2 * n

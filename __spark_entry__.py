@@ -577,6 +577,35 @@ def q_multimodal_meta(spark, sf_dir):
     return extract_metadata(docs_as_binary(_docs(spark, sf_dir)))
 
 
+def q_multimodal_image_dims(spark, sf_dir):
+    """REAL header parsing roundtrip: build a valid PNG signature+IHDR
+    per doc with dimensions planted as functions of doc_id (binary
+    concat + int->big-endian bytes, all in-plan), parse them back with
+    the vectorized byte-sniffing kernel; the oracle recomputes the
+    planted functions directly -- equality proves the parser reads true
+    PNG width/height fields, not fixture accidents."""
+    from prom_tsdb_copyer_spark.operators.multimodal import (
+        extract_image_metadata,
+    )
+
+    docs = _docs(spark, sf_dir)
+    w = F.col("doc_id") % 1000 + 1
+    h = F.col("doc_id") % 777 + 1
+
+    def be32(col):
+        return F.to_binary(F.lpad(F.hex(col), 8, "0"), F.lit("hex"))
+
+    payload = F.concat(
+        F.lit(bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])),
+        F.lit(bytes([0, 0, 0, 13])), F.lit(b"IHDR"),
+        be32(w), be32(h),
+        F.lit(bytes([8, 6, 0, 0, 0])),  # bit depth, color type, ...
+    )
+    return extract_image_metadata(
+        docs.select("doc_id", payload.alias("payload"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMOKE", "/root/testdata/sf0.001")
@@ -630,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_image_dims": q_multimodal_image_dims,
     }
 
 
@@ -852,12 +882,27 @@ def _pipeline_oracles() -> dict[str, str]:
             FROM (SELECT doc_id, unnest({shingles_sql('text')}) AS s FROM documents)
             GROUP BY 1
         """,
+        # BYTE-based oracle (the kernel reads utf-8 bytes, not code
+        # points: ascii() would diverge on any non-ASCII-leading doc)
         "multimodal_meta": """
-            SELECT doc_id,
-                   octet_length(encode(text)) AS n_bytes,
-                   ascii(text) AS magic,
-                   (ascii(text) % 64 + 1)::INT AS fake_width,
-                   (ascii(substr(text, 2, 1)) % 64 + 1)::INT AS fake_height
+            WITH b AS (
+              SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                     ('0x' || substr(hex(encode(text)), 1, 2))::INT AS byte0,
+                     CASE WHEN octet_length(encode(text)) > 1
+                          THEN ('0x' || substr(hex(encode(text)), 3, 2))::INT
+                          ELSE 0 END AS byte1
+              FROM documents)
+            SELECT doc_id, n_bytes, byte0 AS magic,
+                   (byte0 % 64 + 1)::INT AS fake_width,
+                   (byte1 % 64 + 1)::INT AS fake_height
+            FROM b
+        """,
+        # the planted-dimension functions recomputed directly: the Spark
+        # side must have parsed them back out of real PNG header bytes
+        "multimodal_image_dims": """
+            SELECT doc_id, 29::BIGINT AS n_bytes, 'png' AS format,
+                   (doc_id % 1000 + 1)::INT AS width,
+                   (doc_id % 777 + 1)::INT AS height
             FROM documents
         """,
     }

@@ -34,18 +34,36 @@ def docs_as_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
 
 
+#: fixed-width header prefix materialized as one numpy matrix per batch
+HEADER_BYTES = 32
+
+
+def _header_matrix(payloads: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(n_bytes[i64], head[u8 N x HEADER_BYTES]): the whole batch's header
+    prefixes as ONE contiguous numpy matrix -- every downstream sniff is
+    then a vectorized column operation, no per-row python in the math.
+    (The zero-padded join is a C-speed bytes concat; rows shorter than
+    HEADER_BYTES read as zero bytes.)"""
+    pl = payloads.to_numpy()
+    n = len(pl)
+    n_bytes = np.fromiter((len(b) for b in pl), dtype=np.int64, count=n)
+    if n == 0:
+        return n_bytes, np.zeros((0, HEADER_BYTES), np.uint8)
+    joined = b"".join(bytes(b[:HEADER_BYTES]).ljust(HEADER_BYTES, b"\0") for b in pl)
+    return n_bytes, np.frombuffer(joined, dtype=np.uint8).reshape(n, HEADER_BYTES)
+
+
 def _extract_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: header-byte metadata without full decode.
 
-    Real variant would sniff magic numbers (PNG/JPEG/WAV) and parse
-    dimension fields; the deterministic stand-in reads byte 0 as `magic`
-    and derives fake dimensions from the first two bytes -- the batch
-    shape, arrow transfer, and schema contract are identical."""
+    Deterministic stand-in semantics (oracle-pinned): byte 0 as `magic`,
+    fake dimensions from the first two bytes -- computed over the
+    vectorized header matrix (np column ops, no per-row lambdas); real
+    PNG/JPEG dimension parsing lives in _extract_image_meta."""
     for pdf in batches:
-        payloads = pdf["payload"]
-        n_bytes = payloads.map(len).astype("int64")
-        first = payloads.map(lambda b: b[0] if len(b) else 0).astype("int32")
-        second = payloads.map(lambda b: b[1] if len(b) > 1 else 0).astype("int32")
+        n_bytes, head = _header_matrix(pdf["payload"])
+        first = head[:, 0].astype("int32")
+        second = head[:, 1].astype("int32")
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
@@ -61,6 +79,92 @@ def extract_metadata(binary_docs: DataFrame) -> DataFrame:
     """Binary payloads -> typed metadata rows (Arrow-batched)."""
     return binary_docs.select("doc_id", "payload").mapInPandas(
         _extract_meta, schema=META_SCHEMA
+    )
+
+
+# ------------------------------------------------- real header parsing
+
+IMAGE_META_SCHEMA = "doc_id long, n_bytes long, format string, width int, height int"
+
+_PNG_SIG = np.frombuffer(b"\x89PNG\r\n\x1a\n", dtype=np.uint8)
+
+
+def _be32(head: np.ndarray, off: int) -> np.ndarray:
+    """Vectorized big-endian uint32 read at a fixed header offset."""
+    return (
+        (head[:, off].astype(np.int64) << 24)
+        | (head[:, off + 1].astype(np.int64) << 16)
+        | (head[:, off + 2].astype(np.int64) << 8)
+        | head[:, off + 3].astype(np.int64)
+    )
+
+
+def _jpeg_dims(b: bytes) -> tuple[int, int]:
+    """SOF-marker walk (variable segment offsets -> inherently per-item;
+    pure struct reads, no codec library): width/height from the first
+    SOF0..SOF15 frame header. Returns (0, 0) if none found/truncated."""
+    i, n = 2, len(b)
+    while i + 9 <= n:
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+            i += 2
+            continue
+        seg_len = (b[i + 2] << 8) | b[i + 3]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = (b[i + 5] << 8) | b[i + 6]
+            w = (b[i + 7] << 8) | b[i + 8]
+            return w, h
+        i += 2 + seg_len
+    return 0, 0
+
+
+def _extract_image_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL header metadata: PNG dimensions fully vectorized (fixed IHDR
+    offsets: width @16, height @20, big-endian), JPEG via the SOF walk
+    on just the rows whose magic says JPEG, everything else 'unknown'
+    with 0x0 dims. No decode -- pure byte reads."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n_bytes, head = _header_matrix(payloads)
+        n = len(pdf)
+        fmt = np.full(n, "unknown", dtype=object)
+        width = np.zeros(n, dtype=np.int64)
+        height = np.zeros(n, dtype=np.int64)
+
+        is_png = (n_bytes >= 24) & np.all(head[:, :8] == _PNG_SIG, axis=1)
+        fmt[is_png] = "png"
+        width[is_png] = _be32(head, 16)[is_png]
+        height[is_png] = _be32(head, 20)[is_png]
+
+        is_jpeg = (
+            (n_bytes >= 3)
+            & (head[:, 0] == 0xFF) & (head[:, 1] == 0xD8) & (head[:, 2] == 0xFF)
+            & ~is_png
+        )
+        fmt[is_jpeg] = "jpeg"
+        if is_jpeg.any():
+            pl = payloads.to_numpy()
+            for i in np.flatnonzero(is_jpeg):
+                width[i], height[i] = _jpeg_dims(bytes(pl[i]))
+
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": n_bytes,
+                "format": fmt,
+                "width": width.astype("int32"),
+                "height": height.astype("int32"),
+            }
+        )
+
+
+def extract_image_metadata(binary_docs: DataFrame) -> DataFrame:
+    """Real PNG/JPEG header dims (no codec libs, byte reads only)."""
+    return binary_docs.select("doc_id", "payload").mapInPandas(
+        _extract_image_meta, schema=IMAGE_META_SCHEMA
     )
 
 

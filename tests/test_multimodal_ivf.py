@@ -70,3 +70,46 @@ def test_ivf_recall_vs_brute_force(spark, emb):
     ac = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in approx.collect()}
     for key in e & a:
         assert ec[key] == ac[key]
+
+
+def _png(w, h):
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", w, h) + bytes([8, 6, 0, 0, 0])
+    )
+
+
+def _jpeg(w, h, pad_segments=1):
+    """Minimal JPEG: SOI, `pad_segments` APP0 fillers (so the SOF walk
+    must actually skip segments), then SOF0 with the planted dims."""
+    import struct
+
+    out = b"\xff\xd8"
+    for _ in range(pad_segments):
+        out += b"\xff\xe0" + struct.pack(">H", 7) + b"JFIF\x00"
+    out += b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01"
+    return out
+
+
+def test_real_header_dims(spark):
+    from prom_tsdb_copyer_spark.operators.multimodal import (
+        extract_image_metadata,
+    )
+
+    rows = [
+        (1, _png(640, 480)),
+        (2, _jpeg(1920, 1080)),
+        (3, _jpeg(12, 34, pad_segments=3)),
+        (4, b"plain text payload"),
+        (5, b"\xff\xd8\xff"),  # truncated JPEG: no SOF -> 0x0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in extract_image_metadata(df).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("png", 640, 480)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("jpeg", 1920, 1080)
+    assert (got[3]["format"], got[3]["width"], got[3]["height"]) == ("jpeg", 12, 34)
+    assert (got[4]["format"], got[4]["width"], got[4]["height"]) == ("unknown", 0, 0)
+    assert (got[5]["format"], got[5]["width"], got[5]["height"]) == ("jpeg", 0, 0)
+    assert got[4]["n_bytes"] == 18

@@ -32,7 +32,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "12000"))  # ~5.5M turns (zipf mean ~460)
+# ~22M turns (zipf mean ~460): at 5.5M the 32-core cascade is dominated
+# by fixed per-stage costs; 22M amortizes them so the headline measures
+# the engine, not job-launch overhead
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "48000"))
 BENCH_SEED = 42
 BENCH_INPUT = os.environ.get(
     "BENCH_INPUT", f"/tmp/bench_transcripts_c{BENCH_CONVS}_s{BENCH_SEED}_f250k"
@@ -84,9 +87,29 @@ def run_bench() -> dict:
             spark, transcripts, CopyJob(), out_root, collect_counts=False
         )
 
+    # warm-up pass (JVM/codegen warm, OS page cache) then measured pass:
+    # steady-state, matching the reference benchmark's warm comparison
+    # (BASELINE.md); the cold one-shot is reported alongside
+    cold_secs, _ = timed(full_cascade)
+    queries["rollup_cascade_cold"] = round(cold_secs, 3)
     secs, _ = timed(full_cascade)
     queries["rollup_cascade_write"] = round(secs, 3)
     headline = n_rows / secs
+
+    # --- decomposition: compute+shuffle rate without the sink, and the
+    # tier points actually persisted per second (the cascade writes
+    # ~1.6 output points per input sample across the three tiers)
+    from prom_tsdb_copyer_spark.operators.rollup import rollup as _rollup
+
+    agg_secs, _ = timed(
+        lambda: _rollup(transcripts, SERIES, "value", "1m")
+        .write.format("noop").mode("overwrite").save()
+    )
+    queries["rollup_1m_agg_nosink"] = round(agg_secs, 3)
+    tier_points = sum(
+        spark.read.parquet(os.path.join(out_root, f"tier={t}")).count()
+        for t in ("1m", "1h", "1d")
+    )
 
     # --- gorilla encode leg over the same input (1h chunks)
     from prom_tsdb_copyer_spark.functions.gorilla import encode_tier_chunks
@@ -118,6 +141,14 @@ def run_bench() -> dict:
         "sf": SF_DIR,
         "bench_rows": n_rows,
         "cpus": CPUS,
+        "samples_per_sec_cold": round(n_rows / queries["rollup_cascade_cold"], 1),
+        "agg_nosink_samples_per_sec": round(
+            n_rows / queries["rollup_1m_agg_nosink"], 1
+        ),
+        "tier_points_written": tier_points,
+        "tier_points_per_sec": round(
+            tier_points / queries["rollup_cascade_write"], 1
+        ),
     }
 
 
@@ -128,7 +159,9 @@ def run_scaling() -> dict:
     turns): at 5.5M rows the 32-core job is dominated by fixed costs
     (write barriers, small stages) and scaling efficiency measures
     Amdahl overhead, not the engine."""
-    scaling_convs = os.environ.get("SCALING_CONVS", str(BENCH_CONVS * 4))
+    # default bench input is already the amortized 22M-row size; scaling
+    # runs the same input at both parallelism levels
+    scaling_convs = os.environ.get("SCALING_CONVS", str(BENCH_CONVS))
     pair = tuple(
         int(x) for x in os.environ.get("SCALING_PAIR", "2,8").split(",")
     )

@@ -125,6 +125,19 @@ def run_and_write_rollups(
     ]
     filtered = filtered_samples(df, job)
 
+    # bucket-extent hint for the sink's sampling-free clustering: the
+    # window range if given, else footer-stat min/max of the UNfiltered
+    # source (a wider hint only makes chunks sparser, never wrong; with
+    # parquet aggregate pushdown this is a stats read, not a scan)
+    range_hint = range_ms
+    if range_hint is None:
+        try:
+            from ..sources.tables import time_extent
+
+            range_hint = time_extent(df, job.ts_col)
+        except Exception:
+            range_hint = None
+
     rows: dict[str, int] = {}
     prev_path = None
     for i, tier in enumerate(job.tiers):
@@ -139,7 +152,7 @@ def run_and_write_rollups(
                 prev = prev.where(F.col("bucket_ms").between(lo, hi))
             tier_df = reaggregate(prev, series, tier)
         path = os.path.join(out_root, f"tier={tier}")
-        write_tier(tier_df, path, mode=mode)
+        write_tier(tier_df, path, mode=mode, range_hint=range_hint)
         if collect_counts:
             rows[tier] = spark.read.parquet(path).count()
         prev_path = path
@@ -154,7 +167,7 @@ def run_and_write_rollups(
             filtered, series, tier, value_col=job.value_col, ts_col=job.ts_col
         )
         path = os.path.join(out_root, f"chunks={tier}")
-        write_tier(chunks, path, mode=mode)
+        write_tier(chunks, path, mode=mode, range_hint=range_hint)
         if collect_counts:
             rows[f"chunks={tier}"] = spark.read.parquet(path).count()
     return rows

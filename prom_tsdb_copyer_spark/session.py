@@ -60,6 +60,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.python.worker.reuse", "true")
+        # min/max/count over raw parquet columns answered from footer
+        # stats (time_extent, the sink's range hint) instead of a scan
+        .config("spark.sql.parquet.aggregatePushDown", "true")
     )
     for k, v in malloc_env.items():
         builder = builder.config(f"spark.executorEnv.{k}", v)

@@ -255,6 +255,25 @@ def q_avg_over_time_1d(spark, sf_dir):
     return avg_over_time(tier, SERIES, "1d")
 
 
+def q_rate_1d(spark, sf_dir):
+    """Read-side rate: daily counter rate from tier first/last values and
+    their order keys. Deterministic without rounding tricks: first/last
+    are SELECTIONS of exact inputs and elapsed comes from exact integer
+    order keys, so the quotient is bit-identical across engines."""
+    from prom_tsdb_copyer_spark.operators.query import rate_per_sec
+
+    tier = rollup(_events(spark, sf_dir), SERIES, "value", "1h")
+    return rate_per_sec(tier, SERIES, "1d")
+
+
+def q_minmax_over_time_1d(spark, sf_dir):
+    """Read-side extrema: exact daily min/max from tier columns."""
+    from prom_tsdb_copyer_spark.operators.query import extrema_over_time
+
+    tier = rollup(_events(spark, sf_dir), SERIES, "value", "1h")
+    return extrema_over_time(tier, SERIES, "1d")
+
+
 def q_sessionize(spark, sf_dir):
     """Training-data extension: inactivity-gap sessionization (lag +
     boundary cumsum, one shuffle) -> per-session stats. event_id
@@ -633,6 +652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_select": q_tier_select,
         "increase_1d": q_increase_1d,
         "avg_over_time_1d": q_avg_over_time_1d,
+        "rate_1d": q_rate_1d,
+        "minmax_over_time_1d": q_minmax_over_time_1d,
         "sessionize": q_sessionize,
         "topk_series": q_topk_series,
         "pivot_type_by_day": q_pivot_type_by_day,
@@ -1037,6 +1058,34 @@ def _core_oracles() -> dict[str, str]:
                    round(sum(sum_val), 3) AS sum_val,
                    sum(cnt) AS cnt
             FROM t GROUP BY 1, 2, 3
+        """,
+        "rate_1d": f"""
+            WITH t AS (
+              SELECT user_id, event_type,
+                     (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS bucket_ms,
+                     arg_min(value, epoch_us(ts)) AS first_val,
+                     arg_max(value, epoch_us(ts)) AS last_val,
+                     min(epoch_us(ts)) AS first_ord,
+                     max(epoch_us(ts)) AS last_ord
+              FROM events GROUP BY 1, 2, 3),
+            w AS (
+              SELECT user_id, event_type,
+                     (bucket_ms // {DAY_MS}) * {DAY_MS} AS window_ms,
+                     arg_min(first_val, first_ord) AS fv,
+                     arg_max(last_val, last_ord) AS lv,
+                     min(first_ord) AS fo, max(last_ord) AS lo
+              FROM t GROUP BY 1, 2, 3)
+            SELECT user_id, event_type, window_ms,
+                   CASE WHEN (lo - fo) / 1000000.0 > 0
+                        THEN round((lv - fv) / ((lo - fo) / 1000000.0), 6)
+                   END AS rate_per_sec
+            FROM w
+        """,
+        "minmax_over_time_1d": f"""
+            SELECT user_id, event_type,
+                   (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS window_ms,
+                   min(value) AS min_val, max(value) AS max_val
+            FROM events GROUP BY 1, 2, 3
         """,
         "sessionize": f"""
             WITH s AS (

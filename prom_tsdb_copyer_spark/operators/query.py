@@ -96,6 +96,24 @@ def rate_per_sec(
     )
 
 
+def extrema_over_time(
+    tier_df: DataFrame, series_cols: list[str], window: str | int
+) -> DataFrame:
+    """min/max over the window from tier min/max columns (selection
+    aggregates -- exact, no rounding needed)."""
+    w_ms = TIER_MS[window] if isinstance(window, str) else int(window)
+    return (
+        tier_df.withColumn(
+            "window_ms", (F.floor(F.col("bucket_ms") / w_ms) * w_ms).cast("long")
+        )
+        .groupBy(*series_cols, "window_ms")
+        .agg(
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+        )
+    )
+
+
 def avg_over_time(
     tier_df: DataFrame, series_cols: list[str], window: str | int
 ) -> DataFrame:

@@ -255,6 +255,33 @@ def q_avg_over_time_1d(spark, sf_dir):
     return avg_over_time(tier, SERIES, "1d")
 
 
+def q_asof_join_1h(spark, sf_dir):
+    """As-of join (the brief's named custom operator): per-series hourly
+    probe grid joined to the latest event at-or-before each probe time.
+    Spark side: union + ordered LOCF window (operators/asofjoin.py, one
+    shuffle, no range explosion); oracle: DuckDB's NATIVE `ASOF LEFT
+    JOIN` -- two independent implementations of the operator semantics."""
+    from prom_tsdb_copyer_spark.operators.asofjoin import asof_join
+    from prom_tsdb_copyer_spark.operators.windows import unix_ms
+
+    ev = _events(spark, sf_dir)
+    bounds = ev.groupBy(*SERIES).agg(
+        (F.floor(F.min(unix_ms(F.col("ts"))) / HOUR_MS) * HOUR_MS)
+        .cast("long").alias("lo"),
+        F.max(unix_ms(F.col("ts"))).alias("hi"),
+    )
+    grid = bounds.select(
+        *SERIES,
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(HOUR_MS).cast("long"))
+        ).alias("t_ms"),
+    )
+    return asof_join(
+        grid, ev, SERIES, probe_ts="t_ms", sample_ts="ts",
+        value_cols=("value",),
+    )
+
+
 def q_rate_1d(spark, sf_dir):
     """Read-side rate: daily counter rate from tier first/last values and
     their order keys. Deterministic without rounding tricks: first/last
@@ -284,6 +311,32 @@ def q_sessionize(spark, sf_dir):
     return session_stats(
         _events(spark, sf_dir), SERIES, gap_ms=HOUR_MS,
         tiebreak_cols=["event_id"],
+    )
+
+
+def q_range_join_sessions(spark, sf_dir):
+    """Range (interval-containment) join, bucketed: events joined back
+    into the session intervals that contain them (one equi-join on
+    (series, hour bucket) + exact containment filter -- no inequality
+    join in the plan). Sessions are time-disjoint per series, so each
+    event matches exactly one interval; the oracle recomputes the match
+    with DuckDB's plain inequality join."""
+    from prom_tsdb_copyer_spark.operators.rangejoin import interval_join
+    from prom_tsdb_copyer_spark.operators.sessionize import session_stats
+    from prom_tsdb_copyer_spark.operators.windows import unix_ms
+
+    ev = _events(spark, sf_dir)
+    sessions = session_stats(
+        ev, SERIES, gap_ms=HOUR_MS, tiebreak_cols=["event_id"]
+    ).select(*SERIES, "session_idx", "start_ms", "end_ms")
+    pts = ev.select(*SERIES, unix_ms(F.col("ts")).alias("t_ms"), "value")
+    j = interval_join(
+        pts, sessions, SERIES, "t_ms", "start_ms", "end_ms",
+        bucket_ms=HOUR_MS,
+    )
+    return j.groupBy(*SERIES, "session_idx").agg(
+        F.count("*").alias("n_matched"),
+        F.round(F.sum("value"), 3).alias("sum_val_matched"),
     )
 
 
@@ -652,9 +705,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_select": q_tier_select,
         "increase_1d": q_increase_1d,
         "avg_over_time_1d": q_avg_over_time_1d,
+        "asof_join_1h": q_asof_join_1h,
         "rate_1d": q_rate_1d,
         "minmax_over_time_1d": q_minmax_over_time_1d,
         "sessionize": q_sessionize,
+        "range_join_sessions": q_range_join_sessions,
         "topk_series": q_topk_series,
         "pivot_type_by_day": q_pivot_type_by_day,
         "distinct_series_per_day": q_distinct_series_per_day,
@@ -935,6 +990,28 @@ def oracle_sql() -> dict[str, str]:
     return out
 
 
+_SESSIONS_SQL = f"""
+    WITH s AS (
+      SELECT user_id, event_type, value, epoch_ms(ts) AS t, event_id,
+             CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                    OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {HOUR_MS}
+                  THEN 1 ELSE 0 END AS st
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY epoch_ms(ts), event_id)),
+    s2 AS (
+      SELECT *, sum(st) OVER (
+        PARTITION BY user_id, event_type ORDER BY t, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+      FROM s)
+    SELECT user_id, event_type, session_idx,
+           min(t) AS start_ms, max(t) AS end_ms,
+           max(t) - min(t) AS duration_ms,
+           count(*) AS n_events, round(sum(value), 3) AS sum_val
+    FROM s2 GROUP BY 1, 2, 3
+"""
+
+
 def _core_oracles() -> dict[str, str]:
     return {
         "tier_rollup_1m": _rollup_sql(MINUTE_MS),
@@ -1059,6 +1136,26 @@ def _core_oracles() -> dict[str, str]:
                    sum(cnt) AS cnt
             FROM t GROUP BY 1, 2, 3
         """,
+        # DuckDB's native ASOF JOIN is the oracle for our union+LOCF
+        # composition -- two independent implementations, one semantics
+        "asof_join_1h": f"""
+            WITH bounds AS (
+              SELECT user_id, event_type, min(epoch_ms(ts)) AS lo,
+                     max(epoch_ms(ts)) AS hi
+              FROM events GROUP BY 1, 2),
+            grid AS (
+              SELECT user_id, event_type,
+                     unnest(generate_series((lo // {HOUR_MS}) * {HOUR_MS},
+                                            hi, {HOUR_MS})) AS t_ms
+              FROM bounds),
+            s AS (SELECT user_id, event_type, epoch_ms(ts) AS t_ms, value
+                  FROM events)
+            SELECT g.user_id, g.event_type, g.t_ms,
+                   s.value AS asof_value, s.t_ms AS asof_ts_ms
+            FROM grid g ASOF LEFT JOIN s
+              ON g.user_id = s.user_id AND g.event_type = s.event_type
+             AND g.t_ms >= s.t_ms
+        """,
         "rate_1d": f"""
             WITH t AS (
               SELECT user_id, event_type,
@@ -1087,25 +1184,19 @@ def _core_oracles() -> dict[str, str]:
                    min(value) AS min_val, max(value) AS max_val
             FROM events GROUP BY 1, 2, 3
         """,
-        "sessionize": f"""
-            WITH s AS (
-              SELECT user_id, event_type, value, epoch_ms(ts) AS t, event_id,
-                     CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
-                            OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {HOUR_MS}
-                          THEN 1 ELSE 0 END AS st
-              FROM events
-              WINDOW w AS (PARTITION BY user_id, event_type
-                           ORDER BY epoch_ms(ts), event_id)),
-            s2 AS (
-              SELECT *, sum(st) OVER (
-                PARTITION BY user_id, event_type ORDER BY t, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
-              FROM s)
-            SELECT user_id, event_type, session_idx,
-                   min(t) AS start_ms, max(t) AS end_ms,
-                   max(t) - min(t) AS duration_ms,
-                   count(*) AS n_events, round(sum(value), 3) AS sum_val
-            FROM s2 GROUP BY 1, 2, 3
+        "sessionize": _SESSIONS_SQL,
+        # the bucketed range join recomputed as a plain inequality join
+        "range_join_sessions": f"""
+            WITH sess AS ({_SESSIONS_SQL}),
+            pts AS (SELECT user_id, event_type, epoch_ms(ts) AS t, value
+                    FROM events)
+            SELECT s.user_id, s.event_type, s.session_idx,
+                   count(*) AS n_matched,
+                   round(sum(p.value), 3) AS sum_val_matched
+            FROM sess s JOIN pts p
+              ON p.user_id = s.user_id AND p.event_type = s.event_type
+             AND p.t BETWEEN s.start_ms AND s.end_ms
+            GROUP BY 1, 2, 3
         """,
         "topk_series": """
             SELECT user_id, event_type, count(*) AS cnt FROM events

@@ -69,6 +69,50 @@ def streaming_tier_1m(
     )
 
 
+def streaming_hist_tier_1m(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    series_cols: list[str],
+    bounds: tuple[float, ...] | None = None,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked streaming 1m HISTOGRAM tier: the F12 histogram path's
+    streaming twin. make_histogram is a pure projection (streaming-safe)
+    and the bucket-wise merge is the same static array of sums as the
+    batch rollup, so closed windows equal the batch hist_rollup exactly
+    (fixture-tested)."""
+    from ..operators.histogram import DEFAULT_BOUNDS, make_histogram
+
+    bounds = bounds or DEFAULT_BOUNDS
+    n_buckets = len(bounds) + 1
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .load(source_dir)
+    )
+    h = make_histogram(stream, value_col, bounds)
+    return (
+        h.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 minute").alias("win"), *series_cols)
+        .agg(
+            F.sum(F.col("hist")["count"]).alias("hist_count"),
+            F.round(F.sum(F.col("hist")["sum"]), 3).alias("hist_sum"),
+            F.array(
+                *[F.sum(F.col("hist")["buckets"][i]) for i in range(n_buckets)]
+            ).alias("hist_buckets"),
+        )
+        .select(
+            F.unix_millis(F.col("win.start")).alias("bucket_ms"),
+            *series_cols,
+            "hist_count", "hist_sum", "hist_buckets",
+        )
+    )
+
+
 def streaming_sessions(
     spark: SparkSession,
     source_dir: str,

@@ -165,3 +165,42 @@ def test_epoch_write_idempotent(spark, transcripts, tmp_path):
     # a second epoch appends
     write_epoch_idempotent(batch, out, 8)
     assert spark.read.parquet(out).count() == 2 * n
+
+
+def test_streaming_hist_tier_matches_batch(spark, transcripts, tmp_path):
+    """Streaming histogram 1m tier == batch hist_rollup on closed
+    windows (the F12 path's streaming twin)."""
+    from prom_tsdb_copyer_spark.operators.histogram import (
+        DEFAULT_BOUNDS,
+        hist_rollup,
+        make_histogram,
+    )
+    from prom_tsdb_copyer_spark.operators.windows import MINUTE_MS, unix_ms
+    from prom_tsdb_copyer_spark.streaming.incremental import (
+        streaming_hist_tier_1m,
+    )
+
+    src = str(tmp_path / "hsrc")
+    transcripts.write.parquet(src)
+    out = str(tmp_path / "htier")
+    ckpt = str(tmp_path / "hckpt")
+    tier = streaming_hist_tier_1m(spark, src, transcripts.schema, SERIES)
+    q = run_available_now(tier, out, ckpt)
+    q.awaitTermination(300)
+
+    def canon(df):
+        return {
+            tuple(r[c] for c in KEY): (
+                r["hist_count"], r["hist_sum"], tuple(r["hist_buckets"])
+            )
+            for r in df.collect()
+        }
+
+    got = canon(spark.read.parquet(out).drop("part_day"))
+    max_ts_ms = transcripts.agg(F.max(unix_ms(F.col("ts")))).first()[0]
+    watermark_ms = max_ts_ms - 10 * MINUTE_MS
+    batch = hist_rollup(
+        make_histogram(transcripts), SERIES, "1m", len(DEFAULT_BOUNDS) + 1
+    ).where(F.col("bucket_ms") + MINUTE_MS <= watermark_ms)
+    want = canon(batch)
+    assert got == want and len(want) > 100

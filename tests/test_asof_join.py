@@ -85,3 +85,35 @@ def test_plan_is_single_window_no_join(spark, frames):
                 "SortMergeJoin", "ShuffledHashJoin"):
         assert bad not in plan
     assert plan.count("Window") >= 1
+
+
+def test_randomized_against_bruteforce(spark):
+    """Seeded random streams: asof_join must equal the O(n*m) definition
+    on every probe (multiple series, duplicate probe times, sample-time
+    ties broken by event_id)."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    samples = [
+        (f"s{int(rng.integers(4))}", int(rng.integers(0, 10_000)),
+         float(np.round(rng.uniform(0, 100), 2)), i)
+        for i in range(300)
+    ]
+    probes = [
+        (f"s{int(rng.integers(5))}", int(rng.integers(0, 12_000)))
+        for _ in range(200)
+    ]
+    s = spark.createDataFrame(samples, "k string, t long, value double, event_id long")
+    p = spark.createDataFrame(probes, "k string, t long").distinct()
+    got = {
+        (r["k"], r["t"]): (r["asof_value"], r["asof_ts_ms"])
+        for r in asof_join(p, s, SERIES, probe_ts="t", sample_ts="t",
+                           tiebreak_col="event_id").collect()
+    }
+    for k, t in {(k, t) for k, t in [tuple(r) for r in p.collect()]}:
+        eligible = [x for x in samples if x[0] == k and x[1] <= t]
+        want = (None, None)
+        if eligible:
+            best = max(eligible, key=lambda x: (x[1], x[3]))
+            want = (best[2], best[1])
+        assert got[(k, t)] == want, (k, t)

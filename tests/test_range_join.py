@@ -77,3 +77,33 @@ def test_plan_has_no_inequality_join(spark, frames):
         .queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_randomized_against_bruteforce(spark):
+    """Seeded random points/intervals (mixed lengths, overlaps, empties):
+    bucketed join == O(n*m) containment at several bucket sizes."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    points = [(f"s{int(rng.integers(3))}", int(rng.integers(0, 5_000)))
+              for _ in range(250)]
+    ivs = []
+    for i in range(60):
+        lo = int(rng.integers(0, 5_000))
+        ivs.append((f"s{int(rng.integers(4))}", f"iv{i}",
+                    lo, lo + int(rng.integers(0, 800))))
+    p = spark.createDataFrame(points, "k string, t long").distinct()
+    iv = spark.createDataFrame(ivs, "k string, iv string, lo long, hi long")
+    want = {
+        (k, t, name)
+        for (k, t) in {tuple(r) for r in p.collect()}
+        for (k2, name, lo, hi) in ivs
+        if k == k2 and lo <= t <= hi
+    }
+    for b in (37, 1000):
+        got = {
+            (r["k"], r["t"], r["iv"])
+            for r in interval_join(p, iv, SERIES, "t", "lo", "hi",
+                                   bucket_ms=b).collect()
+        }
+        assert got == want, f"bucket_ms={b}"

@@ -47,7 +47,9 @@ def main(names: list[str]) -> int:
 
     from prom_tsdb_copyer_spark.session import get_spark
 
-    spark = get_spark(app_name="check_oracle", cores=8, shuffle_partitions=8)
+    cores = int(os.environ.get("CHECK_CORES", "8"))
+    spark = get_spark(app_name="check_oracle", cores=cores,
+                      shuffle_partitions=cores)
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(SF_DIR, f"{t}.parquet")

@@ -3,11 +3,14 @@
 
 Images/audio/video are `binary` columns with a metadata struct; decode /
 feature-extraction runs as Arrow-batched `mapInPandas` over those
-columns. The actual codec libraries are not in this container, so the
-decode kernel is STUBBED (deterministic fake or NotImplementedError),
-but the Spark-side plumbing -- schema, batch iteration, partition-
-preserving shape, metadata extraction from real header bytes -- is real
-and tested.
+columns. REAL with no codec library: PNG/JPEG header dimensions
+(vectorized byte sniffing + SOF walk), uncompressed 24-bpp BMP decode/
+encode (struct + numpy reshape), PCM 16-bit WAV parse + audio features
+(duration/RMS/zero-crossing). Only compressed-bitstream decode (PNG
+zlib, JPEG DCT, video codecs) is stubbed -- those genuinely need
+libraries absent from this container -- with a deterministic fake so
+downstream plumbing (schema, batch iteration, partition shape) stays
+testable end-to-end.
 """
 
 from __future__ import annotations
@@ -168,12 +171,63 @@ def extract_image_metadata(binary_docs: DataFrame) -> DataFrame:
     )
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL decoder for uncompressed 24-bpp BMP -> HxWx3 uint8 (RGB).
+
+    Pure struct reads + numpy reshape, no codec library: pixel offset
+    u32@10, width i32@18, height i32@22, bpp u16@28; rows bottom-up,
+    4-byte padded, BGR order."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (comp,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only uncompressed 24-bpp BMP (got bpp={bpp})")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=off)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        img = img[::-1]
+    return img[..., ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Inverse of decode_bmp (test fixture + real writer): HxWx3 uint8
+    RGB -> uncompressed 24-bpp bottom-up BMP bytes."""
+    import struct
+
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    data = rows.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + dib + data
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """STUB: real implementation would PIL-decode to HxWx3 uint8."""
+    """Decode an image payload to HxWx3 uint8.
+
+    REAL for uncompressed BMP (decode_bmp, pure numpy/struct).
+    Compressed formats (PNG zlib, JPEG DCT) need codec libraries that
+    are not in this container -> NotImplementedError; their header
+    metadata still parses for real via extract_image_metadata, and the
+    deterministic fake_decode_image keeps downstream plumbing testable."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     if not REAL_DECODERS_AVAILABLE:
         raise NotImplementedError(
-            "image decode requires PIL/libjpeg, not present in this container; "
-            "deterministic fake available via fake_decode_image"
+            "compressed-image decode requires PIL/libjpeg, not present in "
+            "this container; BMP decodes for real, deterministic fake "
+            "available via fake_decode_image"
         )
     raise AssertionError("unreachable")
 
@@ -206,6 +260,90 @@ def sample_frames(payload: bytes, n_frames: int, w: int = 8, h: int = 8) -> np.n
             fake_decode_image(payload[i * span : (i + 1) * span] or payload, w, h)
             for i in range(n_frames)
         ]
+    )
+
+
+# ------------------------------------------------------ audio (WAV PCM)
+
+
+def parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL parser for PCM 16-bit WAV -> (sample_rate, n_channels,
+    samples int16 [frames x channels]). Pure struct reads + frombuffer
+    (RIFF chunk walk; no audio library)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    rate = channels = bits = None
+    i, n = 12, len(payload)
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (clen,) = struct.unpack_from("<I", payload, i + 4)
+        if cid == b"fmt ":
+            _, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, i + 8
+            )
+        elif cid == b"data":
+            if bits != 16:
+                raise NotImplementedError(f"only 16-bit PCM (got {bits})")
+            raw = np.frombuffer(payload, dtype="<i2", count=clen // 2, offset=i + 8)
+            return rate, channels, raw.reshape(-1, channels)
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    raise ValueError("WAV data chunk not found")
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Inverse of parse_wav (test fixture + real writer)."""
+    import struct
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, n_frames long, "
+    "duration_s double, rms double, zero_cross_rate double"
+)
+
+
+def _extract_audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL audio features from PCM bytes: duration, RMS level, zero
+    crossing rate (a cheap voicing/noise proxy) -- numpy over the
+    decoded int16 frames, per item (variable-length payloads)."""
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "doc_id", "sample_rate", "n_channels", "n_frames",
+            "duration_s", "rms", "zero_cross_rate",
+        )}
+        for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, ch, frames = parse_wav(bytes(payload))
+            mono = frames.astype(np.float64).mean(axis=1)
+            zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) \
+                if len(mono) > 1 else 0.0
+            rows["doc_id"].append(int(did))
+            rows["sample_rate"].append(rate)
+            rows["n_channels"].append(ch)
+            rows["n_frames"].append(len(frames))
+            rows["duration_s"].append(round(len(frames) / rate, 6))
+            rows["rms"].append(round(float(np.sqrt(np.mean(mono**2))), 4))
+            rows["zero_cross_rate"].append(round(zc, 6))
+        yield pd.DataFrame(rows)
+
+
+def extract_audio_features(binary_docs: DataFrame) -> DataFrame:
+    """WAV payloads -> typed audio features (Arrow-batched, REAL parse)."""
+    return binary_docs.select("doc_id", "payload").mapInPandas(
+        _extract_audio_features, schema=AUDIO_FEATURE_SCHEMA
     )
 
 

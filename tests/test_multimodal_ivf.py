@@ -113,3 +113,52 @@ def test_real_header_dims(spark):
     assert (got[4]["format"], got[4]["width"], got[4]["height"]) == ("unknown", 0, 0)
     assert (got[5]["format"], got[5]["width"], got[5]["height"]) == ("jpeg", 0, 0)
     assert got[4]["n_bytes"] == 18
+
+
+def test_bmp_roundtrip_and_decode_image():
+    from prom_tsdb_copyer_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(3)
+    for h, w in [(5, 7), (1, 1), (16, 3)]:  # odd widths exercise padding
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    # decode_image: real for BMP, explicit for compressed formats
+    img = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_bmp(img)), img)
+    with pytest.raises(NotImplementedError):
+        decode_image(_png(4, 4))
+
+
+def test_wav_parse_and_audio_features(spark):
+    import math
+
+    from prom_tsdb_copyer_spark.operators.multimodal import (
+        encode_wav,
+        extract_audio_features,
+        parse_wav,
+    )
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    sine = (10000 * np.sin(2 * math.pi * 440 * t / rate)).astype(np.int16)
+    stereo = np.stack([sine, -sine], axis=1)
+    rate2, ch, frames = parse_wav(encode_wav(sine, rate))
+    assert (rate2, ch, len(frames)) == (rate, 1, rate)
+    assert np.array_equal(frames[:, 0], sine)
+
+    df = spark.createDataFrame(
+        [(1, encode_wav(sine, rate)), (2, encode_wav(stereo, rate))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in extract_audio_features(df).collect()}
+    assert got[1]["duration_s"] == pytest.approx(1.0)
+    # sine RMS = amplitude / sqrt(2)
+    assert got[1]["rms"] == pytest.approx(10000 / math.sqrt(2), rel=1e-3)
+    # 440 Hz sine crosses zero ~880 times/s of 8000 samples
+    assert got[1]["zero_cross_rate"] == pytest.approx(880 / 8000, rel=0.02)
+    assert got[2]["n_channels"] == 2
+    assert got[2]["rms"] == pytest.approx(0.0, abs=1e-9)  # L/R cancel in mono mix

@@ -57,6 +57,10 @@ class CopyJob:
     series_cols: tuple[str, ...] = tuple(TRANSCRIPT_SERIES)
     value_col: str = "value"
     ts_col: str = "ts"
+    #: bucket bounds when value_col is a histogram struct (F12 dispatch,
+    #: copyer.go:113-127: float -> Append, histogram -> AppendHistogram);
+    #: the pipeline routes on the actual column type at run time
+    hist_bounds: tuple[float, ...] | None = None
     labels: dict | None = field(default=None, hash=False, compare=False)
 
 
@@ -138,11 +142,31 @@ def run_and_write_rollups(
         except Exception:
             range_hint = None
 
+    # F12 value-type dispatch (copyer.go:113-127): float values roll up
+    # through the algebraic tier path, histogram structs through the
+    # bucket-wise merge path -- same cascade, shuffle, and sink shape
+    from ..sources.ingest import value_kind
+
+    kind = value_kind(df, job.value_col)
+    if kind == "histogram":
+        from ..operators.histogram import DEFAULT_BOUNDS, hist_reaggregate, hist_rollup
+
+        n_buckets = len(job.hist_bounds or DEFAULT_BOUNDS) + 1
+        first_tier = lambda d, t: hist_rollup(  # noqa: E731
+            d, series, t, n_buckets, hist_col=job.value_col, ts_col=job.ts_col
+        )
+        reagg = lambda d, t: hist_reaggregate(d, series, t, n_buckets)  # noqa: E731
+    else:
+        first_tier = lambda d, t: _rollup(  # noqa: E731
+            d, series, job.value_col, t, job.ts_col
+        )
+        reagg = lambda d, t: reaggregate(d, series, t)  # noqa: E731
+
     rows: dict[str, int] = {}
     prev_path = None
     for i, tier in enumerate(job.tiers):
         if i == 0:
-            tier_df = _rollup(filtered, series, job.value_col, tier, job.ts_col)
+            tier_df = first_tier(filtered, tier)
         else:
             prev = spark.read.parquet(prev_path).drop("part_day")
             if range_ms is not None:
@@ -150,7 +174,7 @@ def run_and_write_rollups(
                 lo = (range_ms[0] // tier_ms) * tier_ms
                 hi = ((range_ms[1] // tier_ms) + 1) * tier_ms - 1
                 prev = prev.where(F.col("bucket_ms").between(lo, hi))
-            tier_df = reaggregate(prev, series, tier)
+            tier_df = reagg(prev, tier)
         path = os.path.join(out_root, f"tier={tier}")
         write_tier(tier_df, path, mode=mode, range_hint=range_hint)
         if collect_counts:
@@ -162,6 +186,11 @@ def run_and_write_rollups(
     # tiers above are the continuous-aggregate layer)
     from ..functions.gorilla import encode_tier_chunks
 
+    if job.chunk_tiers and kind == "histogram":
+        raise ValueError(
+            "Gorilla chunk tiers encode float samples; histogram-valued "
+            "jobs roll up bucket-wise instead (set chunk_tiers=())"
+        )
     for tier in job.chunk_tiers:
         chunks = encode_tier_chunks(
             filtered, series, tier, value_col=job.value_col, ts_col=job.ts_col

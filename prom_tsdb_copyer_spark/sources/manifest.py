@@ -194,9 +194,11 @@ class ResumableRollup:
             range_ms=(w.start_ms, w.end_ms), collect_counts=False,
         )
         finest = os.path.join(self.out_root, f"tier={self.job.tiers[0]}")
+        tier_df = spark.read.parquet(finest).where(in_window(self.job.tiers[0]))
+        # float tiers carry `cnt`; histogram tiers carry `hist_count`
+        cnt_col = "cnt" if "cnt" in tier_df.columns else "hist_count"
         agg = (
-            spark.read.parquet(finest).where(in_window(self.job.tiers[0]))
-            .agg(F.sum("cnt").alias("s"), F.count("*").alias("c"))
+            tier_df.agg(F.sum(cnt_col).alias("s"), F.count("*").alias("c"))
             .collect()[0]
         )
         rows_in = int(agg["s"] or 0)

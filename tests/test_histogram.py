@@ -129,3 +129,47 @@ def test_ingest_dispatch(spark):
         value_kind(bad)
     with pytest.raises(UnsupportedValueTypeError):
         validate_samples(bad, ["conv_id", "role", "tool"])
+
+
+def test_flagship_pipeline_dispatches_histograms(spark, hists, tmp_path):
+    """run_and_write_rollups routes histogram-valued jobs through the
+    bucket-wise merge path (the reference's inline float/histogram
+    dispatch in its copy loop): written tiers == direct hist rollups,
+    chunk tiers are rejected for histogram values, and ResumableRollup's
+    rows_in bookkeeping reads hist_count."""
+    from prom_tsdb_copyer_spark.plans.copy_job import CopyJob, run_and_write_rollups
+    from prom_tsdb_copyer_spark.sources.manifest import ResumableRollup, read_manifest
+    from prom_tsdb_copyer_spark.operators.windows import DAY_MS
+    from prom_tsdb_copyer_spark.sources.tables import time_extent
+
+    df = hists.drop("value").withColumnRenamed("hist", "value")
+    root = str(tmp_path / "h")
+    job = CopyJob(tiers=("1h", "1d"))
+    run_and_write_rollups(spark, df, job, root, collect_counts=False)
+
+    def canon(rows):
+        return {
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in rows
+        }
+
+    got_1h = canon(spark.read.parquet(f"{root}/tier=1h").drop("part_day").collect())
+    want_1h = canon(
+        hist_rollup(hists, SERIES, "1h", N_BUCKETS).collect()
+    )
+    assert got_1h == want_1h
+    got_1d = canon(spark.read.parquet(f"{root}/tier=1d").drop("part_day").collect())
+    want_1d = canon(hist_rollup(hists, SERIES, "1d", N_BUCKETS).collect())
+    assert got_1d == want_1d
+
+    with pytest.raises(ValueError, match="chunk"):
+        run_and_write_rollups(
+            spark, df, CopyJob(tiers=("1h",), chunk_tiers=("1h",)),
+            str(tmp_path / "h2"), collect_counts=False,
+        )
+
+    lo, hi = time_extent(df)
+    root2 = str(tmp_path / "h3")
+    ResumableRollup(CopyJob(tiers=("1h",)), root2, DAY_MS).run(df, lo, hi)
+    total_in = sum(e.rows_in for e in read_manifest(root2).values())
+    assert total_in == df.count()

@@ -125,6 +125,9 @@ def run_bench() -> dict:
         "tier_rollup_1m",
         "flagship_copy",
         "gapfill_locf_1h",
+        "histogram_rollup",
+        "asof_join_1h",
+        "simhash_pairs_blocked",
         "minhash_lsh_pairs",
         "ann_cosine_topk",
         "text_quality",

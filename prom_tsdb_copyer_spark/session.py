@@ -28,10 +28,20 @@ def get_spark(
     data and under-parallelizes big data; at cluster scale this knob is
     sized so one shuffle partition fits executor memory).
     """
+    # under spark-submit the master arrives as the spark.master system
+    # property; setting .master() here would override --master, so
+    # inherit it and only default to local[N] when running standalone
+    from pyspark import SparkConf
+
+    submitted_master = SparkConf().get("spark.master", None)
     if cores is None:
         cores_env = os.environ.get("SPARK_GRAFT_CPUS")
-        master = f"local[{cores_env}]" if cores_env else "local[*]"
-        n = int(cores_env) if cores_env else (os.cpu_count() or 8)
+        if submitted_master and not cores_env:
+            master = None  # spark-submit owns the master / executor count
+            n = os.cpu_count() or 8
+        else:
+            master = f"local[{cores_env}]" if cores_env else "local[*]"
+            n = int(cores_env) if cores_env else (os.cpu_count() or 8)
     else:
         master = f"local[{cores}]"
         n = cores
@@ -48,7 +58,7 @@ def get_spark(
     os.environ.update(malloc_env)
 
     builder = (
-        SparkSession.builder.master(master)
+        (SparkSession.builder.master(master) if master else SparkSession.builder)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

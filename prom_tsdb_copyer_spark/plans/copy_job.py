@@ -101,7 +101,7 @@ def run_and_write_rollups(
     out_root: str,
     mode: str = "overwrite",
     range_ms: tuple[int, int] | None = None,
-    collect_counts: bool = True,
+    collect_counts: bool = False,
 ) -> dict[str, int]:
     """Materialized cascade: write the finest tier, then derive each
     coarser tier from the tier just WRITTEN (read back), never from raw.

@@ -111,13 +111,17 @@ def run_bench() -> dict:
         for t in ("1m", "1h", "1d")
     )
 
-    # --- gorilla encode leg over the same input (1h chunks)
+    # --- gorilla encode leg over the same input (1h chunks); warm-up
+    # then measure, like the cascade (first pass pays Python-worker
+    # page-fault warmup, a known sandbox effect)
     from prom_tsdb_copyer_spark.functions.gorilla import encode_tier_chunks
 
+    timed(lambda: encode_tier_chunks(transcripts, SERIES, "1h").count())
     secs, n_chunks = timed(
         lambda: encode_tier_chunks(transcripts, SERIES, "1h").count()
     )
     queries["gorilla_encode_1h"] = round(secs, 3)
+    queries["gorilla_samples_per_sec"] = round(n_rows / secs, 1)
 
     # --- driver-table headline queries (oracle-aligned shapes)
     q = entry.queries()

@@ -293,6 +293,17 @@ def q_rate_1d(spark, sf_dir):
     return rate_per_sec(tier, SERIES, "1d")
 
 
+def q_counter_resets_1d(spark, sf_dir):
+    """PromQL resets()/changes(): needs raw per-sample scan order (not
+    tier-derivable) -- lag window + windowed integer counts, event_id
+    tie-broken on both engines."""
+    from prom_tsdb_copyer_spark.operators.query import counter_resets
+
+    return counter_resets(
+        _events(spark, sf_dir), SERIES, "1d", tiebreak_cols=["event_id"]
+    )
+
+
 def q_minmax_over_time_1d(spark, sf_dir):
     """Read-side extrema: exact daily min/max from tier columns."""
     from prom_tsdb_copyer_spark.operators.query import extrema_over_time
@@ -707,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_over_time_1d": q_avg_over_time_1d,
         "asof_join_1h": q_asof_join_1h,
         "rate_1d": q_rate_1d,
+        "counter_resets_1d": q_counter_resets_1d,
         "minmax_over_time_1d": q_minmax_over_time_1d,
         "sessionize": q_sessionize,
         "range_join_sessions": q_range_join_sessions,
@@ -1177,6 +1189,20 @@ def _core_oracles() -> dict[str, str]:
                         THEN round((lv - fv) / ((lo - fo) / 1000000.0), 6)
                    END AS rate_per_sec
             FROM w
+        """,
+        "counter_resets_1d": f"""
+            WITH s AS (
+              SELECT user_id, event_type, value,
+                     (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS window_ms,
+                     lag(value) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY epoch_ms(ts), event_id) AS prev
+              FROM events)
+            SELECT user_id, event_type, window_ms,
+                   count(CASE WHEN value < prev THEN 1 END) AS n_resets,
+                   count(CASE WHEN value != prev THEN 1 END) AS n_changes,
+                   count(*) AS n_samples
+            FROM s GROUP BY 1, 2, 3
         """,
         "minmax_over_time_1d": f"""
             SELECT user_id, event_type,

@@ -96,6 +96,42 @@ def rate_per_sec(
     )
 
 
+def counter_resets(
+    df: DataFrame,
+    series_cols: list[str],
+    window: str | int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """PromQL resets()/changes() analog over RAW samples: per (series,
+    window), how many times the value dropped (counter reset) and how
+    many times it changed at all. Needs the per-sample scan order, so
+    unlike increase/avg it cannot be derived from tier aggregates -- one
+    lag window per series (ordered by time + tiebreak for determinism),
+    then a windowed count. Exact integer outputs."""
+    from pyspark.sql import Window
+
+    from .windows import TIER_MS, bucket_ms_col, unix_ms
+
+    w_ms = TIER_MS[window] if isinstance(window, str) else int(window)
+    order = [unix_ms(F.col(ts_col))] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*series_cols).orderBy(*order)
+    prev = F.lag(F.col(value_col)).over(w)
+    return (
+        df.withColumn("window_ms", bucket_ms_col(F.col(ts_col), w_ms))
+        .withColumn("_prev", prev)
+        .groupBy(*series_cols, "window_ms")
+        .agg(
+            F.count(F.when(F.col(value_col) < F.col("_prev"), 1)).alias("n_resets"),
+            F.count(
+                F.when(F.col(value_col) != F.col("_prev"), 1)
+            ).alias("n_changes"),
+            F.count("*").alias("n_samples"),
+        )
+    )
+
+
 def extrema_over_time(
     tier_df: DataFrame, series_cols: list[str], window: str | int
 ) -> DataFrame:

@@ -537,6 +537,39 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 NGRAM_MAX_DF = 50  # drop shingles present in >10% of the sf0.01 corpus
 
 
+CC_ITERS = 5  # oracle-parity rounds; convergence proven in pytest
+
+
+def q_neardup_components(spark, sf_dir):
+    """Near-dup clusters: min-label propagation over the MinHash-LSH
+    pair graph (fixed 5 rounds == converged on this fixture, proven in
+    pytest; production mode iterates to convergence with early stop)."""
+    from prom_tsdb_copyer_spark.operators.dedup import (
+        connected_components,
+        minhash_dedup_pairs,
+    )
+
+    pairs = minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return connected_components(pairs, fixed_iters=CC_ITERS).select(
+        F.col("n").alias("doc_id"), "component"
+    )
+
+
+def q_neardup_apply(spark, sf_dir):
+    """The corpus-shrink step: keep one representative per near-dup
+    component plus all unpaired docs (broadcast anti-join)."""
+    from prom_tsdb_copyer_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        neardup_apply,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dedup_pairs(docs, threshold=0.5)
+    return neardup_apply(docs, pairs, fixed_iters=CC_ITERS).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """max_df guards the shared-shingle self-join: stop-shingles (very
     common 5-grams) are dropped before the join, bounding the per-key
@@ -734,6 +767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply": q_dedup_apply,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "neardup_components": q_neardup_components,
+        "neardup_apply": q_neardup_apply,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_pairs": q_simhash_pairs,
@@ -810,6 +845,33 @@ def _neardup_oracle(threshold: float) -> str:
     """
 
 
+def _cc_oracle(b: dict[str, str], final_select: str) -> str:
+    """Min-label propagation as CC_ITERS nested join CTEs over the
+    MinHash-LSH pair graph -- the exact bounded function the Spark
+    side's `connected_components(fixed_iters=CC_ITERS)` computes."""
+    ctes = [
+        f"sh AS ({b['sh']})", f"ix AS ({b['ix']})", f"sig AS ({b['sig']})",
+        f"bands AS ({b['bands']})", f"cands AS ({b['cands']})",
+        f"inter0 AS ({b['inter']})",
+        "inter AS (SELECT i.* FROM inter0 i SEMI JOIN cands c "
+        "ON i.a = c.a AND i.b = c.b)",
+        f"sizes AS ({b['sizes']})",
+        f"pairs AS (SELECT a, b FROM ({b['jacc']}) WHERE jaccard >= 0.5)",
+        """edges AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL SELECT b, a FROM pairs
+            UNION ALL SELECT DISTINCT n, n FROM
+              (SELECT a AS n FROM pairs UNION ALL SELECT b FROM pairs))""",
+        "l0 AS (SELECT DISTINCT src AS n, src AS component FROM edges)",
+    ]
+    for i in range(1, CC_ITERS + 1):
+        ctes.append(
+            f"l{i} AS (SELECT e.src AS n, min(l.component) AS component "
+            f"FROM edges e JOIN l{i - 1} l ON l.n = e.dst GROUP BY 1)"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + final_select.format(k=CC_ITERS)
+
+
 def _pipeline_oracles() -> dict[str, str]:
     from prom_tsdb_copyer_spark.functions.hashing import M, hash60_sql, shingles_sql
     from prom_tsdb_copyer_spark.operators.dedup import SIMHASH_BITS
@@ -849,6 +911,11 @@ def _pipeline_oracles() -> dict[str, str]:
                  sizes AS ({b['sizes']})
             SELECT * FROM ({b['jacc']}) WHERE jaccard >= 0.5
         """,
+        "neardup_components": _cc_oracle(b, "SELECT n AS doc_id, component FROM l{k}"),
+        "neardup_apply": _cc_oracle(b, """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT n FROM l{k} WHERE n != component)
+        """),
         "ngram_jaccard": f"""
             WITH sh0 AS ({b['sh']}),
                  keep AS (SELECT hm FROM sh0 GROUP BY hm

@@ -164,6 +164,88 @@ def minhash_dedup_pairs(
     return jaccard_pairs(sh, cands, id_col=id_col, threshold=threshold)
 
 
+# ---------------------------------------------- near-dup cluster apply
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+    fixed_iters: int | None = None,
+) -> DataFrame:
+    """(node, component) over the near-dup pair graph via min-label
+    propagation -- the step that turns pairwise near-dup evidence into
+    KEEP/DROP decisions (component representative = min id).
+
+    Each iteration is one equi-join + min-aggregate over the edge list
+    (edges made symmetric + self-loops), so a round costs one shuffle of
+    |E| rows; label propagation converges in O(graph diameter) rounds
+    and near-dup graphs are shallow (dup clusters, not long chains).
+    Iterations persist + early-stop on a changed-label count;
+    `fixed_iters` instead runs exactly k rounds with no convergence
+    check -- the oracle-parity mode (the same bounded function is
+    expressible as k nested joins in SQL; pytest proves k rounds ==
+    converged union-find on the fixture)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+    )
+    nodes = edges.select(F.col("src").alias("n")).distinct()
+    edges = edges.unionByName(
+        nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+    )
+    labels = nodes.select("n", F.col("n").alias("component"))
+
+    def step(lbl: DataFrame) -> DataFrame:
+        return (
+            edges.join(lbl, edges["dst"] == lbl["n"])
+            .groupBy("src")
+            .agg(F.min("component").alias("component"))
+            .select(F.col("src").alias("n"), "component")
+        )
+
+    if fixed_iters is not None:
+        for _ in range(fixed_iters):
+            labels = step(labels)
+        return labels
+
+    labels = labels.persist()
+    labels.count()
+    for _ in range(max_iter):
+        new = step(labels).persist()
+        changed = (
+            new.alias("x")
+            .join(labels.alias("y"), "n")
+            .where(F.col("x.component") != F.col("y.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def neardup_apply(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    **cc_kwargs,
+) -> DataFrame:
+    """Materialize near-dup survivors: one representative (min id) per
+    connected component, plus every document with no near-dup evidence.
+    Broadcast anti-join against the (small) non-representative list --
+    the corpus-shrink step downstream of any pairs() operator."""
+    comp = connected_components(pairs, **cc_kwargs)
+    drop = comp.where(F.col("n") != F.col("component")).select(
+        F.col("n").alias(id_col)
+    )
+    return docs.join(F.broadcast(drop), id_col, "left_anti")
+
+
 # ---------------------------------------------------------------- simhash
 
 SIMHASH_BITS = 60

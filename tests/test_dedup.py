@@ -108,3 +108,64 @@ def test_simhash_blocked_plan_has_no_cross_join(spark, docs):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_vs_union_find(spark, docs):
+    """Converged label propagation == union-find components on the real
+    LSH pair graph, and the bounded oracle-parity mode (fixed_iters=5)
+    is already converged on this fixture."""
+    from prom_tsdb_copyer_spark.operators.dedup import (
+        connected_components,
+        minhash_dedup_pairs,
+        neardup_apply,
+    )
+
+    pairs = minhash_dedup_pairs(docs, threshold=0.8)
+    edge_list = [(r["a"], r["b"]) for r in pairs.collect()]
+    assert edge_list
+    want = _union_find(edge_list)
+    got_conv = {r["n"]: r["component"]
+                for r in connected_components(pairs).collect()}
+    got_k5 = {r["n"]: r["component"]
+              for r in connected_components(pairs, fixed_iters=5).collect()}
+    assert got_conv == want
+    assert got_k5 == want
+
+    kept = {r["doc_id"] for r in neardup_apply(docs, pairs).collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    reps = set(want.values())
+    members = set(want)
+    assert kept == (all_ids - members) | reps
+
+
+def test_connected_components_long_chain(spark):
+    """A path graph of diameter 12 needs iteration: convergence mode
+    finds one component where a 3-round bounded run cannot."""
+    from prom_tsdb_copyer_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a long, b long"
+    )
+    conv = {r["n"]: r["component"]
+            for r in connected_components(chain).collect()}
+    assert set(conv.values()) == {0}
+    k3 = {r["n"]: r["component"]
+          for r in connected_components(chain, fixed_iters=3).collect()}
+    assert set(k3.values()) != {0}  # bounded mode is a different function

@@ -248,11 +248,19 @@ def q_increase_1d(spark, sf_dir):
 
 
 def q_avg_over_time_1d(spark, sf_dir):
-    """Read-side: sample-weighted daily mean from tier sums/counts."""
+    """Read-side: sample-weighted daily mean from tier sums/counts.
+
+    Gate discipline (VERDICT r2 item 1): the gated row carries ONLY
+    exact integers -- (sum_mills, cnt); the mean is a derived
+    convenience column, dropped here because DOUBLE accumulations
+    proved hash-unstable across driver environments two rounds
+    running."""
     from prom_tsdb_copyer_spark.operators.query import avg_over_time
 
     tier = rollup(_events(spark, sf_dir), SERIES, "value", "1h")
-    return avg_over_time(tier, SERIES, "1d")
+    return avg_over_time(tier, SERIES, "1d").select(
+        *SERIES, "window_ms", "sum_mills", "cnt"
+    )
 
 
 def q_asof_join_1h(spark, sf_dir):
@@ -345,9 +353,11 @@ def q_range_join_sessions(spark, sf_dir):
         pts, sessions, SERIES, "t_ms", "start_ms", "end_ms",
         bucket_ms=HOUR_MS,
     )
+    from prom_tsdb_copyer_spark.functions.exact import milli_units
+
     return j.groupBy(*SERIES, "session_idx").agg(
         F.count("*").alias("n_matched"),
-        F.round(F.sum("value"), 3).alias("sum_val_matched"),
+        milli_units(F.sum("value")).alias("sum_mills_matched"),
     )
 
 
@@ -445,10 +455,13 @@ def q_histogram_rollup(spark, sf_dir):
         make_histogram,
     )
 
+    from prom_tsdb_copyer_spark.functions.exact import milli_units
+
     h = make_histogram(_events(spark, sf_dir))  # bounds (10, 20, 40, +Inf)
     t = hist_rollup(h, SERIES, "1h", n_buckets=4)
     return t.select(
-        *SERIES, "bucket_ms", "hist_count", "hist_sum",
+        *SERIES, "bucket_ms", "hist_count",
+        milli_units(F.col("hist_sum")).alias("hist_sum_mills"),
         F.col("hist_buckets")[0].alias("le_10"),
         F.col("hist_buckets")[1].alias("le_20"),
         F.col("hist_buckets")[2].alias("le_40"),
@@ -1086,7 +1099,8 @@ _SESSIONS_SQL = f"""
     SELECT user_id, event_type, session_idx,
            min(t) AS start_ms, max(t) AS end_ms,
            max(t) - min(t) AS duration_ms,
-           count(*) AS n_events, round(sum(value), 3) AS sum_val
+           count(*) AS n_events,
+           CAST(round(sum(value) * 1000) AS BIGINT) AS sum_mills
     FROM s2 GROUP BY 1, 2, 3
 """
 
@@ -1200,20 +1214,13 @@ def _core_oracles() -> dict[str, str]:
             FROM t GROUP BY 1, 2, 3
         """,
         "avg_over_time_1d": f"""
-            -- determinism discipline mirrors operators/query.py:
-            -- round the accumulated sum to 3 decimals (2-decimal inputs)
-            -- BEFORE the quotient, so avg is a function of two exact values
-            WITH t AS (
-              SELECT user_id, event_type,
-                     (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS bucket_ms,
-                     sum(value) AS sum_val, count(value) AS cnt
-              FROM events GROUP BY 1, 2, 3)
+            -- determinism by TYPE (functions/exact.py): exact BIGINT
+            -- milli-unit sum + exact count; no DOUBLE in the gated row
             SELECT user_id, event_type,
-                   (bucket_ms // {DAY_MS}) * {DAY_MS} AS window_ms,
-                   round(round(sum(sum_val), 3) / sum(cnt), 6) AS avg_value,
-                   round(sum(sum_val), 3) AS sum_val,
-                   sum(cnt) AS cnt
-            FROM t GROUP BY 1, 2, 3
+                   (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS window_ms,
+                   CAST(round(sum(value) * 1000) AS BIGINT) AS sum_mills,
+                   count(value) AS cnt
+            FROM events GROUP BY 1, 2, 3
         """,
         # DuckDB's native ASOF JOIN is the oracle for our union+LOCF
         # composition -- two independent implementations, one semantics
@@ -1285,7 +1292,7 @@ def _core_oracles() -> dict[str, str]:
                     FROM events)
             SELECT s.user_id, s.event_type, s.session_idx,
                    count(*) AS n_matched,
-                   round(sum(p.value), 3) AS sum_val_matched
+                   CAST(round(sum(p.value) * 1000) AS BIGINT) AS sum_mills_matched
             FROM sess s JOIN pts p
               ON p.user_id = s.user_id AND p.event_type = s.event_type
              AND p.t BETWEEN s.start_ms AND s.end_ms
@@ -1330,7 +1337,7 @@ def _core_oracles() -> dict[str, str]:
             SELECT user_id, event_type,
                    (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS bucket_ms,
                    count(*) AS hist_count,
-                   round(sum(value), 3) AS hist_sum,
+                   CAST(round(sum(value) * 1000) AS BIGINT) AS hist_sum_mills,
                    sum(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS le_10,
                    sum(CASE WHEN value <= 20 THEN 1 ELSE 0 END) AS le_20,
                    sum(CASE WHEN value <= 40 THEN 1 ELSE 0 END) AS le_40,

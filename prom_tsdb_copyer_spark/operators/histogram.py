@@ -80,7 +80,10 @@ def hist_rollup(
         .groupBy(*series_cols, "bucket_ms")
         .agg(
             F.sum(F.col(hist_col)["count"]).alias("hist_count"),
-            F.round(F.sum(F.col(hist_col)["sum"]), 3).alias("hist_sum"),
+            # raw double sum: rounding belongs at presentation time
+            # (milli_units for gated outputs); keeping the accumulator
+            # raw keeps the cascade algebra exact
+            F.sum(F.col(hist_col)["sum"]).alias("hist_sum"),
             _bucket_sums(hist_col, n_buckets).alias("hist_buckets"),
         )
     )
@@ -103,7 +106,7 @@ def hist_reaggregate(
         .groupBy(*series_cols, "bucket_ms")
         .agg(
             F.sum("hist_count").alias("hist_count"),
-            F.round(F.sum("hist_sum"), 3).alias("hist_sum"),
+            F.sum("hist_sum").alias("hist_sum"),
             F.array(
                 *[F.sum(F.col("hist_buckets")[i]) for i in range(n_buckets)]
             ).alias("hist_buckets"),

@@ -155,21 +155,25 @@ def avg_over_time(
 ) -> DataFrame:
     """Sample-weighted mean over the window from tier sums/counts.
 
-    Determinism: the accumulated sum is rounded to 3 decimals FIRST
-    (2-decimal inputs -> the true sum has 2 decimals, so ULP noise from
-    any summation order is absorbed), then divided by the exact integer
-    count -- the quotient of two identical values is identical across
-    engines/partitionings, unlike round(quotient, 6) of a raw float sum."""
+    Determinism by TYPE, not rounding (functions/exact.py): the window
+    sum is emitted as exact BIGINT milli-units (`sum_mills`) alongside
+    the exact count; integers hash identically under any engine/version.
+    `avg_value` is derived from those two exact integers (identical
+    inputs -> identical IEEE quotient) and kept as API convenience --
+    gated queries select the (sum_mills, cnt) pair instead."""
+    from ..functions.exact import MILLI, milli_units
+
     w_ms = TIER_MS[window] if isinstance(window, str) else int(window)
-    sum3 = F.round(F.sum("sum_val"), 3)
     return (
         tier_df.withColumn(
             "window_ms", (F.floor(F.col("bucket_ms") / w_ms) * w_ms).cast("long")
         )
         .groupBy(*series_cols, "window_ms")
         .agg(
-            F.round(sum3 / F.sum("cnt"), 6).alias("avg_value"),
-            sum3.alias("sum_val"),
+            milli_units(F.sum("sum_val")).alias("sum_mills"),
             F.sum("cnt").alias("cnt"),
+        )
+        .withColumn(
+            "avg_value", F.col("sum_mills") / F.lit(MILLI) / F.col("cnt")
         )
     )

@@ -51,7 +51,15 @@ def session_stats(
     value_col: str = "value",
     tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Per-session summary: bounds, duration, event count, value sum."""
+    """Per-session summary: bounds, duration, event count, value sum.
+
+    Every output column is an exact integer: the value sum is emitted as
+    BIGINT milli-units (`sum_mills`, functions/exact.py) so the whole
+    row hashes identically across engines -- the r1/r2 driver-gate
+    lesson that rounding discipline on DOUBLEs does not survive a
+    foreign environment."""
+    from ..functions.exact import milli_units
+
     s = sessionize(df, series_cols, gap_ms, ts_col, tiebreak_cols)
     return s.groupBy(*series_cols, "session_idx").agg(
         F.min(unix_ms(F.col(ts_col))).alias("start_ms"),
@@ -60,5 +68,5 @@ def session_stats(
             "duration_ms"
         ),
         F.count("*").alias("n_events"),
-        F.round(F.sum(value_col), 3).alias("sum_val"),
+        milli_units(F.sum(value_col)).alias("sum_mills"),
     )

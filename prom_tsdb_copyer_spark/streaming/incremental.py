@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import milli_units as _milli
+
 
 def streaming_tier_1m(
     spark: SparkSession,
@@ -100,7 +102,7 @@ def streaming_hist_tier_1m(
         .groupBy(F.window(F.col(ts_col), "1 minute").alias("win"), *series_cols)
         .agg(
             F.sum(F.col("hist")["count"]).alias("hist_count"),
-            F.round(F.sum(F.col("hist")["sum"]), 3).alias("hist_sum"),
+            F.sum(F.col("hist")["sum"]).alias("hist_sum"),
             F.array(
                 *[F.sum(F.col("hist")["buckets"][i]) for i in range(n_buckets)]
             ).alias("hist_buckets"),
@@ -139,11 +141,11 @@ def streaming_sessions(
         .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), *series_cols)
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(value_col), 3).alias("sum_val"),
+            _milli(F.sum(value_col)).alias("sum_mills"),
             F.min(F.unix_millis(F.col(ts_col).cast("timestamp"))).alias("start_ms"),
             F.max(F.unix_millis(F.col(ts_col).cast("timestamp"))).alias("end_ms"),
         )
-        .select(*series_cols, "start_ms", "end_ms", "n_events", "sum_val")
+        .select(*series_cols, "start_ms", "end_ms", "n_events", "sum_mills")
     )
 
 

@@ -24,6 +24,18 @@ SERIES = ["conv_id", "role", "tool"]
 N_BUCKETS = len(DEFAULT_BOUNDS) + 1
 
 
+def _canon_hist(rows):
+    """Set-canonical histogram rows; raw float sums are compared in
+    exact milli-units (the gate's own discipline, functions/exact.py)
+    so summation-order ULP noise between plans cannot flip equality."""
+    def c(v):
+        if isinstance(v, float):
+            return round(v * 1000)
+        return tuple(v) if isinstance(v, list) else v
+
+    return {tuple(c(v) for v in r) for r in rows}
+
+
 @pytest.fixture(scope="module")
 def hists(transcripts):
     return make_histogram(transcripts).cache()
@@ -42,7 +54,7 @@ def test_rollup_matches_direct_aggregates(spark, hists):
         .groupBy(*SERIES, "bucket_ms")
         .agg(
             F.count("*").alias("c"),
-            F.round(F.sum("value"), 3).alias("s"),
+            F.sum("value").alias("s"),
             *[
                 F.sum(F.when(F.col("value") <= b, 1).otherwise(0)).alias(f"b{i}")
                 for i, b in enumerate(DEFAULT_BOUNDS)
@@ -67,7 +79,8 @@ def test_rollup_matches_direct_aggregates(spark, hists):
     assert set(got) == set(want)
     for k, (c, s, buckets) in want.items():
         gc, gs, gb = got[k]
-        assert gc == c and gb == buckets and abs(gs - s) < 1e-9
+        # raw float sums: identical up to summation-order ULP noise
+        assert gc == c and gb == buckets and abs(gs - s) < 1e-6
 
 
 def test_cascade_path_independence(spark, hists):
@@ -77,14 +90,8 @@ def test_cascade_path_independence(spark, hists):
         hist_rollup(hists, SERIES, "1h", N_BUCKETS), SERIES, "1d", N_BUCKETS
     )
     direct = hist_rollup(hists, SERIES, "1d", N_BUCKETS)
-    def canon(rows):
-        return {
-            tuple(tuple(v) if isinstance(v, list) else v for v in r)
-            for r in rows
-        }
-
-    a = canon(via_1h.collect())
-    b = canon(direct.collect())
+    a = _canon_hist(via_1h.collect())
+    b = _canon_hist(direct.collect())
     assert a == b
 
 
@@ -147,19 +154,17 @@ def test_flagship_pipeline_dispatches_histograms(spark, hists, tmp_path):
     job = CopyJob(tiers=("1h", "1d"))
     run_and_write_rollups(spark, df, job, root, collect_counts=False)
 
-    def canon(rows):
-        return {
-            tuple(tuple(v) if isinstance(v, list) else v for v in r)
-            for r in rows
-        }
-
-    got_1h = canon(spark.read.parquet(f"{root}/tier=1h").drop("part_day").collect())
-    want_1h = canon(
+    got_1h = _canon_hist(
+        spark.read.parquet(f"{root}/tier=1h").drop("part_day").collect()
+    )
+    want_1h = _canon_hist(
         hist_rollup(hists, SERIES, "1h", N_BUCKETS).collect()
     )
     assert got_1h == want_1h
-    got_1d = canon(spark.read.parquet(f"{root}/tier=1d").drop("part_day").collect())
-    want_1d = canon(hist_rollup(hists, SERIES, "1d", N_BUCKETS).collect())
+    got_1d = _canon_hist(
+        spark.read.parquet(f"{root}/tier=1d").drop("part_day").collect()
+    )
+    want_1d = _canon_hist(hist_rollup(hists, SERIES, "1d", N_BUCKETS).collect())
     assert got_1d == want_1d
 
     with pytest.raises(ValueError, match="chunk"):

@@ -125,7 +125,7 @@ def test_streaming_sessions_match_batch(spark, transcripts, tmp_path):
     batch = session_stats(transcripts, SERIES, gap_ms)
     want = (
         batch.where(F.col("end_ms") + gap_ms <= watermark_ms)
-        .select(*SERIES, "start_ms", "end_ms", "n_events", "sum_val")
+        .select(*SERIES, "start_ms", "end_ms", "n_events", "sum_mills")
         .toPandas()
         .fillna({"tool": "<null>"})
         .sort_values(SERIES + ["start_ms"])
@@ -189,9 +189,12 @@ def test_streaming_hist_tier_matches_batch(spark, transcripts, tmp_path):
     q.awaitTermination(300)
 
     def canon(df):
+        # raw float sums compared in exact milli-units (the gate's own
+        # discipline): streaming vs batch summation order differs by ULP
         return {
             tuple(r[c] for c in KEY): (
-                r["hist_count"], r["hist_sum"], tuple(r["hist_buckets"])
+                r["hist_count"], round(r["hist_sum"] * 1000),
+                tuple(r["hist_buckets"]),
             )
             for r in df.collect()
         }

@@ -24,6 +24,15 @@ from pyspark.sql import functions as F
 from ..functions.exact import milli_units as _milli
 
 
+def _with_event_time(stream: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP; NTZ sources (the driver's parquet)
+    are cast in the session's pinned-UTC zone -- same instant, same
+    epoch math as the batch side's unix_ms/unix_us."""
+    if dict(stream.dtypes)[ts_col] == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
+
+
 def streaming_tier_1m(
     spark: SparkSession,
     source_dir: str,
@@ -45,6 +54,7 @@ def streaming_tier_1m(
         .option("maxFilesPerTrigger", "8")
         .load(source_dir)
     )
+    stream = _with_event_time(stream, ts_col)
     ts = F.col(ts_col)
     val = F.col(value_col)
     stream = stream.withColumn("_ord", F.unix_micros(ts.cast("timestamp")))
@@ -96,6 +106,7 @@ def streaming_hist_tier_1m(
         .option("maxFilesPerTrigger", "8")
         .load(source_dir)
     )
+    stream = _with_event_time(stream, ts_col)
     h = make_histogram(stream, value_col, bounds)
     return (
         h.withWatermark(ts_col, watermark)
@@ -136,6 +147,7 @@ def streaming_sessions(
         .option("maxFilesPerTrigger", "8")
         .load(source_dir)
     )
+    stream = _with_event_time(stream, ts_col)
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), *series_cols)

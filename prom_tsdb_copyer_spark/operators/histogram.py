@@ -69,15 +69,23 @@ def hist_rollup(
     n_buckets: int,
     hist_col: str = "hist",
     ts_col: str = "ts",
+    cluster: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """Per (series, tier bucket): histogram merge = sum of counts, sum of
     sums, element-wise bucket sums (AppendHistogram's batch analog;
     histogram merge is associative+commutative, so the shuffle combines
-    partials map-side like any algebraic aggregate)."""
+    partials map-side like any algebraic aggregate). ``cluster`` enables
+    the single-shuffle clustered mode (rollup.py module docstring)."""
+    from .rollup import _clustered
+
     tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
-    return (
-        df.withColumn("bucket_ms", bucket_ms_col(F.col(ts_col), tier_ms))
-        .groupBy(*series_cols, "bucket_ms")
+    prepared = df.withColumn("bucket_ms", bucket_ms_col(F.col(ts_col), tier_ms))
+    extra: list[str] = []
+    if cluster is not None:
+        prepared, extra = _clustered(prepared, cluster)
+    out = (
+        prepared
+        .groupBy(*extra, *series_cols, "bucket_ms")
         .agg(
             F.sum(F.col(hist_col)["count"]).alias("hist_count"),
             # raw double sum: rounding belongs at presentation time
@@ -87,6 +95,7 @@ def hist_rollup(
             _bucket_sums(hist_col, n_buckets).alias("hist_buckets"),
         )
     )
+    return out.drop(*extra) if extra else out
 
 
 def hist_reaggregate(
@@ -94,16 +103,23 @@ def hist_reaggregate(
     series_cols: list[str],
     tier: str | int,
     n_buckets: int,
+    cluster: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """Coarser tier from a finer histogram tier (cascade leg): refloor
     bucket_ms and merge -- exact because histogram merge is associative."""
+    from .rollup import _clustered
+
     tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
-    return (
-        tier_df.withColumn(
-            "bucket_ms",
-            (F.floor(F.col("bucket_ms") / tier_ms) * tier_ms).cast("long"),
-        )
-        .groupBy(*series_cols, "bucket_ms")
+    prepared = tier_df.withColumn(
+        "bucket_ms",
+        (F.floor(F.col("bucket_ms") / tier_ms) * tier_ms).cast("long"),
+    )
+    extra: list[str] = []
+    if cluster is not None:
+        prepared, extra = _clustered(prepared, cluster)
+    out = (
+        prepared
+        .groupBy(*extra, *series_cols, "bucket_ms")
         .agg(
             F.sum("hist_count").alias("hist_count"),
             F.sum("hist_sum").alias("hist_sum"),
@@ -112,6 +128,7 @@ def hist_reaggregate(
             ).alias("hist_buckets"),
         )
     )
+    return out.drop(*extra) if extra else out
 
 
 def hist_quantile(

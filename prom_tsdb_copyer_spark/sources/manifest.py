@@ -194,6 +194,13 @@ class ResumableRollup:
             range_ms=(w.start_ms, w.end_ms), collect_counts=False,
         )
         finest = os.path.join(self.out_root, f"tier={self.job.tiers[0]}")
+        # an all-filtered window writes NO parquet files (dynamic
+        # overwrite with zero partitions); schema inference on the empty
+        # dir would raise -- record an honest zero instead (ADVICE r2)
+        from pathlib import Path
+
+        if not any(Path(finest).rglob("*.parquet")):
+            return 0, ({str(self.job.tiers[0]): 0} if self.collect_counts else {})
         tier_df = spark.read.parquet(finest).where(in_window(self.job.tiers[0]))
         # float tiers carry `cnt`; histogram tiers carry `hist_count`
         cnt_col = "cnt" if "cnt" in tier_df.columns else "hist_count"

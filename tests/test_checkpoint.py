@@ -119,3 +119,20 @@ def test_failed_window_records_manifest_entry(spark, transcripts, tmp_path, monk
     )
     assert out["done"] >= 1  # the failed window (fingerprint miss may add more)
     assert all(e.status == "done" for e in read_manifest(root).values())
+
+
+def test_empty_window_records_zero_rows(spark, transcripts, tmp_path):
+    """A window whose matchers filter EVERYTHING writes no parquet files;
+    the manifest must record rows_in=0 instead of crashing on schema
+    inference over the empty tier dir (ADVICE r2)."""
+    lo, hi = time_extent(transcripts)
+    job = CopyJob(tiers=("1m",), matchers=("role=no-such-role",))
+    root = str(tmp_path / "empty")
+    res = ResumableRollup(job, root, DAY_MS, run_id="empty").run(
+        transcripts, lo, lo + DAY_MS - 1
+    )
+    # the non-aligned extent clamps onto the day grid as >=1 window
+    assert res["done"] == res["windows"] >= 1
+    entries = list(read_manifest(root).values())
+    assert len(entries) == res["done"]
+    assert all(e.status == "done" and e.rows_in == 0 for e in entries)

@@ -254,8 +254,17 @@ SIMHASH_BITS = 60
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, fp): 60-bit simhash over distinct whitespace tokens.
 
-    Two-level aggregation, all JVM: per (doc, bit) signed sum, then the
-    fingerprint as sum of set-bit weights."""
+    Single aggregation, all JVM: ONE shuffle of the (doc, token-hash)
+    rows with 60 signed-bit-sum aggregate expressions (one per bit;
+    literal shifts, so each is a plain codegen'd conditional sum), then
+    the fingerprint assembled as a pure projection over the 60 sums.
+    Replaces the r2 shape -- explode(60 bits) + groupBy(doc, bit) -- a
+    60x row blowup through the shuffle for the same result (VERDICT r2
+    item 7). Partial aggregation combines map-side, so the shuffle moves
+    one 60-column row per (doc, partition), not 60x tokens."""
+    from functools import reduce
+    from operator import add
+
     tokens = (
         docs.select(
             F.col(id_col),
@@ -265,24 +274,18 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = 
         .distinct()
         .select(id_col, hash60(F.col("tok")).alias("h"))
     )
-    bit_sums = (
-        tokens.select(
-            id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j")
-        )
-        .groupBy(id_col, "j")
-        .agg(
-            F.sum(
-                # shiftright() via expr: the python wrapper only takes a
-                # literal shift, the SQL function takes a column
-                F.when(F.expr("shiftright(h, j)").bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias("s")
-        )
-    )
-    return bit_sums.groupBy(id_col).agg(
+    bit_sums = tokens.groupBy(id_col).agg(*[
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, j)")).otherwise(0)
-        ).alias("fp")
-    )
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ])
+    fp = reduce(add, [
+        F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for j in range(SIMHASH_BITS)
+    ])
+    return bit_sums.select(id_col, fp.alias("fp"))
 
 
 def simhash_pairs(fp: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
@@ -336,20 +339,26 @@ def simhash_pairs_blocked(
         )
         for j, start, mask in _fp_segments(n_seg)
     ])
+    # candidates as BARE ID PAIRS through the segment join + distinct;
+    # fingerprints re-join after dedup (VERDICT r2 item 5 -- same
+    # payload-free shape as bucketed_neardup)
     e = (
         fp.select(id_col, "fp", F.explode(segs).alias("g"))
-        .select(id_col, "fp", F.col("g.s").alias("s"), F.col("g.seg").alias("seg"))
+        .select(id_col, F.col("g.s").alias("s"), F.col("g.seg").alias("seg"))
     )
-    a = e.select(F.col(id_col).alias("a"), F.col("fp").alias("fp_a"), "s", "seg")
-    b = e.select(F.col(id_col).alias("b"), F.col("fp").alias("fp_b"), "s", "seg")
+    a = e.select(F.col(id_col).alias("a"), "s", "seg")
+    b = e.select(F.col(id_col).alias("b"), "s", "seg")
     cands = (
         a.join(b, on=["s", "seg"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "fp_a", "fp_b")
+        .select("a", "b")
         .distinct()  # a pair may agree on several segments
     )
+    fa = fp.select(F.col(id_col).alias("a"), F.col("fp").alias("fp_a"))
+    fb = fp.select(F.col(id_col).alias("b"), F.col("fp").alias("fp_b"))
     return (
-        cands.withColumn(
+        cands.join(fa, "a").join(fb, "b")
+        .withColumn(
             "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
         )
         .where(F.col("hamming") <= max_hamming)

@@ -130,6 +130,58 @@ def hyperplane_buckets(
     )
 
 
+def _lit_vec(c: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in c])
+
+
+def _cell_sims(vec: Column, cents: list[list[float]], round_to: int | None) -> Column:
+    """array<struct<csim, neg_cell>> of similarities to a LITERAL
+    centroid matrix -- a pure projection (codegen), the shuffle-free
+    replacement for crossJoin(centroids) + row_number (VERDICT r2
+    item 4: at corpus scale that window was an n_cells-x exploded full
+    shuffle just to take an argmax). Struct max/sort orders by csim
+    then by neg_cell, so ties break toward the LOWEST cell id."""
+    def sim(c):
+        s = cosine_col(vec, _lit_vec(c))
+        return F.round(s, round_to) if round_to is not None else s
+
+    return F.array(*[
+        F.struct(sim(c).alias("csim"), F.lit(-i).alias("neg_cell"))
+        for i, c in enumerate(cents)
+    ])
+
+
+def assign_cells(
+    df: DataFrame,
+    cents: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Nearest-centroid (max cosine) cell id as a zero-shuffle argmax
+    fold; `.explain()` shows no Exchange between the scan and the cell
+    column (PLANS.md)."""
+    best = F.array_max(_cell_sims(F.col(vec_col), cents, round_to))
+    return df.withColumn(out_col, (-best["neg_cell"]).cast("long"))
+
+
+def top_cells(
+    df: DataFrame,
+    cents: list[list[float]],
+    n_probe: int,
+    vec_col: str = "qvec",
+    out_col: str = "cell",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """n_probe best cells per row: sort the literal similarity array and
+    slice its tail -- projection + n_probe-row explode, no window."""
+    arr = F.array_sort(_cell_sims(F.col(vec_col), cents, round_to))
+    picked = F.slice(arr, -n_probe, n_probe)
+    return df.withColumn(
+        out_col, F.explode(F.transform(picked, lambda s: (-s["neg_cell"]).cast("long")))
+    )
+
+
 def train_centroids(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -140,53 +192,31 @@ def train_centroids(
     """k-means centroid training (Lloyd iterations) for IVF, entirely in
     DataFrame algebra: init = deterministic corpus sample (lowest ids),
     then per iteration (a) assign each vector to its max-cosine centroid
-    via a broadcast of the n_cells x dim literal table + row_number
-    argmax, (b) update each centroid to the element-wise mean of its
-    members (posexplode -> groupBy(cell, pos).avg -> rebuild). Only the
-    n_cells x dim centroid matrix is ever collected -- per iteration one
-    shuffle over the corpus, the centroids travel as literals/broadcast.
-    Cosine assignment == spherical k-means (scale of the mean doesn't
-    change the argmax). Empty cells keep their previous centroid."""
-    from pyspark.sql import Window
-
+    via the zero-shuffle literal-argmax fold (`assign_cells` -- no
+    explode, no window; closes the r2 plan wart here too), (b) update
+    each centroid to the element-wise mean of its members via one
+    groupBy(cell) with dim avg(vec[i]) aggregates -- no posexplode, so
+    the only shuffle per iteration moves n_cells x dim partials, not a
+    dim-x exploded corpus. Only the n_cells x dim centroid matrix is
+    ever collected. Cosine assignment == spherical k-means (scale of the
+    mean doesn't change the argmax). Empty cells keep their previous
+    centroid."""
     corpus = _as_double(embeddings, vec_col)
     cents = [
         list(r[vec_col])
         for r in corpus.orderBy(id_col).limit(n_cells).collect()
     ]
-    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cell"))
+    dim = len(cents[0])
     for _ in range(n_iter):
-        cent_lits = F.array(*[
-            F.struct(
-                F.lit(i).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in c]).alias("cvec"),
-            )
-            for i, c in enumerate(cents)
-        ])
-        assigned = (
-            corpus.select(id_col, vec_col, F.explode(cent_lits).alias("g"))
-            .select(
-                id_col, vec_col, F.col("g.cell").alias("cell"),
-                cosine_col(F.col(vec_col), F.col("g.cvec")).alias("csim"),
-            )
-            .withColumn("r", F.row_number().over(w))
-            .where(F.col("r") == 1)
-        )
+        # raw csim (no rounding): matches the historical training path
+        assigned = assign_cells(corpus, cents, vec_col, round_to=None)
         means = (
-            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
-                ).alias("pm")
-            )
-            .select("cell", F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"))
+            assigned.groupBy("cell")
+            .agg(*[F.avg(F.col(vec_col)[i]).alias(f"m{i}") for i in range(dim)])
             .collect()
         )
         for r in means:
-            cents[r["cell"]] = list(r["cvec"])
+            cents[int(r["cell"])] = [r[f"m{i}"] for i in range(dim)]
     return cents
 
 
@@ -210,9 +240,13 @@ def ivf_topk(
     n_cells the result is EXACTLY brute force regardless of centroids
     (cells partition the corpus), which is the contract oracle proof.
 
-    Plan shape: centroids broadcast (tiny), cell assignment in codegen,
-    equi-join on cell id -- the scan of each cell is the only data
-    movement. This is the 100TB path; brute_force_topk is the oracle."""
+    Plan shape (r3): the centroid matrix is a LITERAL in the plan; cell
+    assignment is a zero-shuffle argmax fold over it (`assign_cells`) --
+    `.explain()` shows NO Exchange between the corpus scan and the cell
+    column (the r2 version shuffled an n_cells-x exploded corpus through
+    a row_number window just to take this argmax). The equi-join on cell
+    id is the only data movement. This is the 100TB path;
+    brute_force_topk is the oracle."""
     from pyspark.sql import Window
 
     corpus = _as_double(embeddings, vec_col)
@@ -221,38 +255,20 @@ def ivf_topk(
             embeddings, n_cells, id_col=id_col, vec_col=vec_col
         )
     if isinstance(centroids, str):  # 'sample': lowest n_cells ids
-        cents = (
-            corpus.orderBy(id_col).limit(n_cells)
-            .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
-        )
-    else:
-        cents = corpus.sparkSession.createDataFrame(
-            [(i, c) for i, c in enumerate(centroids)],
-            f"cell long, cvec array<double>",
-        )
-    # assign corpus vectors to their single best cell
-    assign_w = Window.partitionBy(id_col).orderBy(
-        F.desc("csim"), F.asc("cell")
+        centroids = [
+            list(r[vec_col])
+            for r in corpus.orderBy(id_col).limit(n_cells).collect()
+        ]
+    cents = [list(c) for c in centroids]
+    # assign corpus vectors to their single best cell (pure projection)
+    assigned = assign_cells(corpus, cents, vec_col).select(
+        id_col, vec_col, "cell"
     )
-    assigned = (
-        corpus.crossJoin(F.broadcast(cents))
-        .withColumn("csim", F.round(cosine_col(F.col(vec_col), F.col("cvec")), 6))
-        .withColumn("crank", F.row_number().over(assign_w))
-        .where(F.col("crank") == 1)
-        .select(id_col, vec_col, "cell")
-    )
-    # each query probes its n_probe best cells
+    # each query probes its n_probe best cells (projection + explode)
     qs = _as_double(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    probe_w = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell"))
-    probes = (
-        qs.crossJoin(F.broadcast(cents))
-        .withColumn("csim", F.round(cosine_col(F.col("qvec"), F.col("cvec")), 6))
-        .withColumn("crank", F.row_number().over(probe_w))
-        .where(F.col("crank") <= n_probe)
-        .select("query_id", "qvec", "cell")
-    )
+    probes = top_cells(qs, cents, n_probe).select("query_id", "qvec", "cell")
     scored = (
         assigned.join(probes, on="cell")
         .where(F.col(id_col) != F.col("query_id"))
@@ -299,20 +315,28 @@ def bucketed_neardup(
         )
         for t in range(n_tables)
     ])
+    # candidates travel as BARE ID PAIRS: the bucket join, a<b filter
+    # and distinct() shuffle only (t, bucket, a, b) -- the embedding
+    # vectors are re-joined AFTER dedup, once per side (VERDICT r2
+    # item 5: carrying the vectors through the n_tables-x explode and
+    # the distinct shuffled the payload repeatedly)
     hashed = (
         e.select(id_col, vec_col, F.explode(tables).alias("g"))
-        .select(id_col, vec_col, F.col("g.t").alias("t"), F.col("g.bucket").alias("bucket"))
+        .select(id_col, F.col("g.t").alias("t"), F.col("g.bucket").alias("bucket"))
     )
-    a = hashed.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "t", "bucket")
-    c = hashed.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "t", "bucket")
+    a = hashed.select(F.col(id_col).alias("a"), "t", "bucket")
+    c = hashed.select(F.col(id_col).alias("b"), "t", "bucket")
     cands = (
         a.join(c, on=["t", "bucket"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "va", "vb")
+        .select("a", "b")
         .distinct()
     )
+    va = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     return (
-        cands.withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        cands.join(va, "a").join(vb, "b")
+        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
         .where(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )

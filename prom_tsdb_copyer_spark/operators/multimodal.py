@@ -111,6 +111,14 @@ def _jpeg_dims(b: bytes) -> tuple[int, int]:
         if b[i] != 0xFF:
             i += 1
             continue
+        # standard marker scan: runs of 0xFF are FILL bytes before the
+        # marker code -- skip them, else a fill byte would be read as a
+        # marker with a bogus segment length and the walk could jump
+        # past the real SOF (ADVICE r2)
+        while i + 9 <= n and b[i + 1] == 0xFF:
+            i += 1
+        if i + 9 > n:
+            break
         marker = b[i + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
             i += 2

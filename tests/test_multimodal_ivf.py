@@ -81,14 +81,17 @@ def _png(w, h):
     )
 
 
-def _jpeg(w, h, pad_segments=1):
+def _jpeg(w, h, pad_segments=1, fill_bytes=0):
     """Minimal JPEG: SOI, `pad_segments` APP0 fillers (so the SOF walk
-    must actually skip segments), then SOF0 with the planted dims."""
+    must actually skip segments), `fill_bytes` 0xFF padding before the
+    SOF marker (legal JPEG fill the scanner must skip), then SOF0 with
+    the planted dims."""
     import struct
 
     out = b"\xff\xd8"
     for _ in range(pad_segments):
         out += b"\xff\xe0" + struct.pack(">H", 7) + b"JFIF\x00"
+    out += b"\xff" * fill_bytes
     out += b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01"
     return out
 
@@ -104,6 +107,7 @@ def test_real_header_dims(spark):
         (3, _jpeg(12, 34, pad_segments=3)),
         (4, b"plain text payload"),
         (5, b"\xff\xd8\xff"),  # truncated JPEG: no SOF -> 0x0
+        (6, _jpeg(77, 55, fill_bytes=5)),  # 0xFF fill run before SOF
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r["doc_id"]: r for r in extract_image_metadata(df).collect()}
@@ -112,6 +116,7 @@ def test_real_header_dims(spark):
     assert (got[3]["format"], got[3]["width"], got[3]["height"]) == ("jpeg", 12, 34)
     assert (got[4]["format"], got[4]["width"], got[4]["height"]) == ("unknown", 0, 0)
     assert (got[5]["format"], got[5]["width"], got[5]["height"]) == ("jpeg", 0, 0)
+    assert (got[6]["format"], got[6]["width"], got[6]["height"]) == ("jpeg", 77, 55)
     assert got[4]["n_bytes"] == 18
 
 

@@ -339,26 +339,27 @@ def simhash_pairs_blocked(
         )
         for j, start, mask in _fp_segments(n_seg)
     ])
-    # candidates as BARE ID PAIRS through the segment join + distinct;
-    # fingerprints re-join after dedup (VERDICT r2 item 5 -- same
-    # payload-free shape as bucketed_neardup)
+    # Payload note (r2 item 5, tried both ways): the fingerprint is ONE
+    # LONG, so carrying it through the segment join + distinct costs 16
+    # bytes/candidate -- while the id-only + rejoin shape re-evaluates
+    # the `fp` lineage (an aggregation) two extra times and measured 2x
+    # wall on the bench. Rejoin-after-dedup is the right shape for WIDE
+    # payloads (see bucketed_neardup's vectors); for scalar payloads
+    # carrying wins unless the fingerprint table is pre-materialized.
     e = (
         fp.select(id_col, "fp", F.explode(segs).alias("g"))
-        .select(id_col, F.col("g.s").alias("s"), F.col("g.seg").alias("seg"))
+        .select(id_col, "fp", F.col("g.s").alias("s"), F.col("g.seg").alias("seg"))
     )
-    a = e.select(F.col(id_col).alias("a"), "s", "seg")
-    b = e.select(F.col(id_col).alias("b"), "s", "seg")
+    a = e.select(F.col(id_col).alias("a"), F.col("fp").alias("fp_a"), "s", "seg")
+    b = e.select(F.col(id_col).alias("b"), F.col("fp").alias("fp_b"), "s", "seg")
     cands = (
         a.join(b, on=["s", "seg"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+        .select("a", "b", "fp_a", "fp_b")
         .distinct()  # a pair may agree on several segments
     )
-    fa = fp.select(F.col(id_col).alias("a"), F.col("fp").alias("fp_a"))
-    fb = fp.select(F.col(id_col).alias("b"), F.col("fp").alias("fp_b"))
     return (
-        cands.join(fa, "a").join(fb, "b")
-        .withColumn(
+        cands.withColumn(
             "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
         )
         .where(F.col("hamming") <= max_hamming)

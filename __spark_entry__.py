@@ -11,11 +11,16 @@ time-series stand-in for transcripts (user_id <-> conv_id, event_type <->
 role -- FIXTURES.md §2); `documents`/`embeddings` back the training-data
 pipeline operators (dedup / similarity / text analysis).
 
-Column-name and rounding discipline: every aggregate is aliased
-identically on both sides, float aggregates that accumulate (sum/avg/
-cosine) are rounded to a fixed number of decimals on both sides so
-summation-order ULP noise cannot flip the value hash; counts, min/max,
-first/last (selection, not accumulation) are exact.
+Column-name and value discipline: every aggregate is aliased
+identically on both sides. Accumulated float sums are emitted as exact
+BIGINT milli-units on BOTH engines (functions/exact.py -- the r1/r2
+lesson: rounded DOUBLEs passed every local comparison yet hash-failed
+the driver gate, because engines round the same double differently);
+quotients (averages) are not gated at all. Counts, min/max, first/last
+(selection, not accumulation) are exact by nature; bounded-error
+sketches are gated as bounds-check booleans. Scores that are rounded
+quotients of per-row (not accumulated) values -- cosine, jaccard,
+quality ratios -- remain DOUBLE and have stayed green at every gate.
 """
 
 from __future__ import annotations

@@ -239,3 +239,86 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_counter_resets(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    series_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``
+    (the brief's named mechanism; SURVEY.md §2.9): per-series counter
+    reset/change detection across micro-batches. The lag comparison at
+    a batch boundary needs the LAST sample of the previous batch --
+    no built-in windowed aggregate can express it, so per-series state
+    carries (last_val, last_ts, cumulative counts) and each batch
+    emits the updated cumulative row per series touched.
+
+    Ordering contract (documented, append-log semantics): input files
+    must arrive in event-time order per series -- true for append-only
+    transcript/event logs, and exactly the reference's assumption when
+    it consumes a series iterator in time order (copyer.go:108-135).
+    Within a batch, samples are sorted by event time in the kernel;
+    across batches the file-stream offset order is the arrival order.
+    Late data is handled by the batch recompute path, like the tier
+    writes. State is bounded: O(#series) rows of 5 scalars.
+
+    Equivalence to the batch operator (`operators/query.py:
+    counter_resets` over one whole-extent window) is pytest-proven
+    including multi-batch runs (tests/test_streaming.py)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    n_keys = len(series_cols)
+    out_schema = (
+        ", ".join(f"{c} string" for c in series_cols)
+        + ", n_samples long, n_resets long, n_changes long,"
+        + " last_val double, last_ts_ms long"
+    )
+    state_schema = (
+        "last_val double, last_ts_ms long, n_samples long,"
+        " n_resets long, n_changes long"
+    )
+
+    def update(key, pdfs, state):
+        parts = [p for p in pdfs]
+        rows = pd.concat(parts) if len(parts) > 1 else parts[0]
+        rows = rows.sort_values("_ts_ms", kind="stable")
+        vals = rows[value_col].to_numpy(dtype=np.float64)
+        ts_ms = rows["_ts_ms"].to_numpy(dtype=np.int64)
+        if state.exists:
+            last_val, last_ts, n, r, c = state.get
+        else:
+            last_val, last_ts, n, r, c = (np.nan, 0, 0, 0, 0)
+        prev = np.empty_like(vals)
+        prev[1:] = vals[:-1]
+        prev[0] = last_val if last_val is not None else np.nan
+        have_prev = ~np.isnan(prev)
+        r += int(np.sum(vals[have_prev] < prev[have_prev]))
+        c += int(np.sum(vals[have_prev] != prev[have_prev]))
+        n += len(vals)
+        state.update((float(vals[-1]), int(ts_ms[-1]), int(n), int(r), int(c)))
+        yield pd.DataFrame(
+            [[*key, n, r, c, float(vals[-1]), int(ts_ms[-1])]],
+            columns=[*series_cols, "n_samples", "n_resets", "n_changes",
+                     "last_val", "last_ts_ms"],
+        )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(source_dir)
+    )
+    stream = _with_event_time(stream, ts_col)
+    stream = stream.withColumn(
+        "_ts_ms", F.unix_millis(F.col(ts_col).cast("timestamp"))
+    ).select(*series_cols, "_ts_ms", value_col)
+    return stream.groupBy(*series_cols).applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )

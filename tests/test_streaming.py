@@ -207,3 +207,87 @@ def test_streaming_hist_tier_matches_batch(spark, transcripts, tmp_path):
     ).where(F.col("bucket_ms") + MINUTE_MS <= watermark_ms)
     want = canon(batch)
     assert got == want and len(want) > 100
+
+
+def test_stateful_counter_resets_across_batches(spark, transcripts, tmp_path):
+    """applyInPandasWithState custom operator: per-series reset/change
+    counts must equal the batch lag-based operator, INCLUDING the lag
+    comparisons that straddle micro-batch boundaries (three time-split
+    files, maxFilesPerTrigger=1 -> three batches, cross-batch state)."""
+    from pyspark.sql import functions as F
+
+    from prom_tsdb_copyer_spark.operators.query import counter_resets
+    from prom_tsdb_copyer_spark.operators.windows import unix_ms
+    from prom_tsdb_copyer_spark.streaming.incremental import (
+        streaming_counter_resets,
+    )
+
+    lo, hi = (
+        transcripts.agg(
+            F.min(unix_ms(F.col("ts"))), F.max(unix_ms(F.col("ts")))
+        ).first()
+    )
+    src = str(tmp_path / "cr_src")
+    third = (hi - lo) // 3 + 1
+    # three event-time-ordered arrivals (the operator's documented
+    # append-log contract)
+    for i in range(3):
+        (
+            transcripts.where(
+                unix_ms(F.col("ts")).between(lo + i * third, lo + (i + 1) * third - 1)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    out = streaming_counter_resets(spark, src, transcripts.schema, SERIES)
+    sink = str(tmp_path / "cr_out")
+
+    q = (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cr_ckpt"))
+        .foreachBatch(
+            lambda df, eid: df.write.mode("append").parquet(sink)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got_df = spark.read.parquet(sink)
+    # cumulative rows: the final state per series is the max-n_samples row
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*SERIES).orderBy(F.desc("n_samples"))
+    final = (
+        got_df.withColumn("_r", F.row_number().over(w))
+        .where("_r = 1")
+        .toPandas()
+        .fillna({"tool": "<null>"})
+    )
+    got = {
+        tuple(r[c] for c in SERIES): (r["n_samples"], r["n_resets"], r["n_changes"])
+        for _, r in final.iterrows()
+    }
+
+    # batch oracle: the lag window is global per series, so summing the
+    # per-window counts gives exact whole-series totals regardless of
+    # where the (arbitrary-modulus) window boundaries fall
+    whole = (
+        counter_resets(transcripts, SERIES, window=2 * (hi - lo + 1))
+        .groupBy(*SERIES)
+        .agg(
+            F.sum("n_samples").alias("n_samples"),
+            F.sum("n_resets").alias("n_resets"),
+            F.sum("n_changes").alias("n_changes"),
+        )
+    )
+    want = {
+        tuple((r[c] if r[c] is not None else "<null>") for c in SERIES): (
+            r["n_samples"], r["n_resets"], r["n_changes"]
+        )
+        for r in whole.collect()
+    }
+    assert len(got) == len(want) > 50
+    assert got == want

@@ -177,3 +177,120 @@ def avg_over_time(
             "avg_value", F.col("sum_mills") / F.lit(MILLI) / F.col("cnt")
         )
     )
+
+
+def delta_over_time(
+    tier_df: DataFrame,
+    series_cols: list[str],
+    window: str | int,
+) -> DataFrame:
+    """PromQL delta() (gauge semantics): last - first over the window,
+    from tier columns alone -- same selection algebra as increase() but
+    without counter semantics (negative deltas are meaningful).
+    Documented divergence from PromQL: no edge extrapolation."""
+    w_ms = TIER_MS[window] if isinstance(window, str) else int(window)
+    return (
+        tier_df.withColumn(
+            "window_ms", (F.floor(F.col("bucket_ms") / w_ms) * w_ms).cast("long")
+        )
+        .groupBy(*series_cols, "window_ms")
+        .agg(
+            (F.max_by("last_val", F.col("last_ord"))
+             - F.min_by("first_val", F.col("first_ord"))).alias("delta")
+        )
+    )
+
+
+def idelta_irate(
+    df: DataFrame,
+    series_cols: list[str],
+    window: str | int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """PromQL idelta()/irate(): difference (and per-second rate) of the
+    LAST TWO samples in each window. Needs raw per-sample order (not
+    tier-derivable): one lag window per series, then max_by(window) --
+    the same single-shuffle shape as counter_resets. irate uses counter
+    semantics (resets clamp to the new value); idelta is the plain
+    difference."""
+    from pyspark.sql import Window
+
+    from .windows import TIER_MS, bucket_ms_col, unix_us
+
+    w_ms = TIER_MS[window] if isinstance(window, str) else int(window)
+    order = [unix_us(F.col(ts_col))] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*series_cols).orderBy(*order)
+    prev_v = F.lag(F.col(value_col)).over(w)
+    prev_t = F.lag(unix_us(F.col(ts_col))).over(w)
+    cur_t = unix_us(F.col(ts_col))
+    d = df.withColumn("window_ms", bucket_ms_col(F.col(ts_col), w_ms)).select(
+        *series_cols, "window_ms",
+        cur_t.alias("_t"),
+        (F.col(value_col) - prev_v).alias("_idelta"),
+        # counter semantics for irate: a reset makes the increase the
+        # new value itself (PromQL's behavior)
+        F.when(F.col(value_col) >= prev_v, F.col(value_col) - prev_v)
+        .otherwise(F.col(value_col)).alias("_inc"),
+        (cur_t - prev_t).alias("_dt_us"),
+    )
+    return (
+        d.where(F.col("_dt_us").isNotNull())
+        .groupBy(*series_cols, "window_ms")
+        .agg(
+            F.max_by("_idelta", F.col("_t")).alias("idelta"),
+            (
+                F.max_by("_inc", F.col("_t"))
+                / (F.max_by("_dt_us", F.col("_t")) / 1_000_000.0)
+            ).alias("irate_per_sec"),
+        )
+    )
+
+
+def deriv(
+    df: DataFrame,
+    series_cols: list[str],
+    window: str | int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    predict_ahead_s: float | None = None,
+) -> DataFrame:
+    """PromQL deriv() (and predict_linear() when `predict_ahead_s` is
+    set): per-(series, window) simple least-squares regression of value
+    on time, entirely as algebraic aggregates --
+
+        slope = (n*S_tv - S_t*S_v) / (n*S_tt - S_t^2)
+
+    computed over time RE-CENTERED on the window start (PromQL does the
+    same centering for numerical stability: raw epoch-us squares would
+    lose the signal to float cancellation). One shuffle, map-side
+    partials, no window function, no UDF -- the shape that scales."""
+    from .windows import TIER_MS, bucket_ms_col, unix_us
+
+    w_ms = TIER_MS[window] if isinstance(window, str) else int(window)
+    d = df.withColumn("window_ms", bucket_ms_col(F.col(ts_col), w_ms))
+    t_s = (unix_us(F.col(ts_col)) / 1_000_000.0) - (F.col("window_ms") / 1000.0)
+    v = F.col(value_col)
+    agg = d.groupBy(*series_cols, "window_ms").agg(
+        F.count(v).alias("_n"),
+        F.sum(t_s).alias("_st"),
+        F.sum(v).alias("_sv"),
+        F.sum(t_s * v).alias("_stv"),
+        F.sum(t_s * t_s).alias("_stt"),
+        F.max(t_s).alias("_t_last"),
+        F.max_by(v, t_s).alias("_v_last"),
+    )
+    denom = F.col("_n") * F.col("_stt") - F.col("_st") * F.col("_st")
+    slope = F.when(
+        (F.col("_n") > 1) & (denom != 0),
+        (F.col("_n") * F.col("_stv") - F.col("_st") * F.col("_sv")) / denom,
+    )
+    out = agg.withColumn("deriv_per_sec", slope)
+    if predict_ahead_s is not None:
+        intercept = (F.col("_sv") - slope * F.col("_st")) / F.col("_n")
+        out = out.withColumn(
+            "predicted",
+            slope * (F.col("_t_last") + F.lit(float(predict_ahead_s))) + intercept,
+        )
+    return out.drop("_n", "_st", "_sv", "_stv", "_stt", "_t_last", "_v_last")

@@ -65,3 +65,93 @@ def test_avg_over_time_weighted(spark, transcripts):
     avg = avg_over_time(_tier(transcripts), SERIES, "1d")
     row = avg.first()
     assert row["cnt"] >= 1 and np.isfinite(row["avg_value"])
+
+
+def test_delta_matches_increase_algebra(spark, transcripts):
+    from prom_tsdb_copyer_spark.operators.query import delta_over_time
+
+    inc = {
+        tuple(r[c] for c in [*SERIES, "window_ms"]): r["increase"]
+        for r in increase(_tier(transcripts), SERIES, "1d").collect()
+    }
+    dlt = {
+        tuple(r[c] for c in [*SERIES, "window_ms"]): r["delta"]
+        for r in delta_over_time(_tier(transcripts), SERIES, "1d").collect()
+    }
+    # identical selection algebra on this fixture (delta == increase
+    # when values are gauges; the functions differ only in intent)
+    assert dlt == inc and len(dlt) > 100
+
+
+def test_idelta_irate_vs_pandas(spark, transcripts, transcripts_pdf):
+    from prom_tsdb_copyer_spark.operators.query import idelta_irate
+
+    got = {
+        tuple(r[c] for c in [*SERIES, "window_ms"]): (
+            r["idelta"], r["irate_per_sec"]
+        )
+        for r in idelta_irate(transcripts, SERIES, "1d").collect()
+    }
+    p = transcripts_pdf.copy()
+    p["tool"] = p["tool"].where(p["tool"].notna(), None)
+    p["us"] = p["ts"].astype("int64") // 1000
+    p["window_ms"] = (p["us"] // 1000 // DAY_MS) * DAY_MS
+    p = p.sort_values("us", kind="stable")
+    n_checked = 0
+    for key, g in p.groupby(["conv_id", "role"], dropna=False):
+        for tool, gt in g.groupby("tool", dropna=False):
+            gt = gt.sort_values("us", kind="stable")
+            prev_v = gt["value"].shift(1)
+            prev_t = gt["us"].shift(1)
+            gt = gt.assign(_pd=gt["value"] - prev_v, _dt=gt["us"] - prev_t)
+            for win, gw in gt.groupby("window_ms"):
+                gw2 = gw[gw["_dt"].notna()]
+                if gw2.empty:
+                    continue
+                last = gw2.iloc[-1]
+                v = last["value"]
+                pv = v - last["_pd"]
+                inc = last["_pd"] if v >= pv else v
+                want = (last["_pd"], inc / (last["_dt"] / 1e6))
+                k = (key[0], key[1], tool if isinstance(tool, str) else None, win)
+                assert k in got
+                assert abs(got[k][0] - want[0]) < 1e-9
+                assert abs(got[k][1] - want[1]) < 1e-9
+                n_checked += 1
+    assert n_checked > 100
+
+
+def test_deriv_and_predict_linear(spark, transcripts, transcripts_pdf):
+    """Least-squares slope per (series, day) vs numpy.polyfit, and
+    predict_linear == slope * (t_last + ahead) + intercept."""
+    from prom_tsdb_copyer_spark.operators.query import deriv
+
+    ahead = 3600.0
+    got = {
+        tuple(r[c] for c in [*SERIES, "window_ms"]): (
+            r["deriv_per_sec"], r["predicted"]
+        )
+        for r in deriv(
+            transcripts, SERIES, "1d", predict_ahead_s=ahead
+        ).collect()
+    }
+    p = transcripts_pdf.copy()
+    p["us"] = p["ts"].astype("int64") // 1000
+    p["window_ms"] = (p["us"] // 1000 // DAY_MS) * DAY_MS
+    n_checked = 0
+    for key, g in p.groupby(["conv_id", "role", "tool", "window_ms"], dropna=False):
+        k = (key[0], key[1], key[2] if isinstance(key[2], str) else None, key[3])
+        assert k in got
+        t = g["us"].to_numpy() / 1e6 - key[3] / 1000.0
+        v = g["value"].to_numpy()
+        slope_got, pred_got = got[k]
+        if len(g) < 2 or np.ptp(t) == 0:
+            assert slope_got is None
+            continue
+        slope, intercept = np.polyfit(t, v, 1)
+        assert abs(slope_got - slope) < 1e-6 * max(1.0, abs(slope))
+        want_pred = slope * (t.max() + ahead) + intercept
+        # predictions extrapolate: compare in slope units
+        assert abs(pred_got - want_pred) < 1e-4 * max(1.0, abs(want_pred))
+        n_checked += 1
+    assert n_checked > 100

@@ -58,24 +58,58 @@ def doc_shingle_hashes(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
-def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, i, minhash): k=NUM_HASHES min-of-affine-permutation values.
+def minhash_signatures_wide(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, m0..m{k-1}): ONE shuffle of the deduped (doc, shingle-hash)
+    rows carrying k=NUM_HASHES min-aggregate expressions -- the same
+    fold-instead-of-explode shape as simhash_fingerprints (r3). The
+    previous pipeline exploded every shingle row k-x before the
+    min-groupBy; partial aggregation now combines the k mins map-side,
+    so the shuffle moves one k-column row per (doc, partition) instead
+    of k-x shingles."""
+    return sh.groupBy(id_col).agg(*[
+        F.min(affine_col(F.col("hm"), F.lit(i))).alias(f"m{i}")
+        for i in range(NUM_HASHES)
+    ])
 
-    explode(sequence(0, k-1)) over the deduped shingle set, min per
-    (doc, i) -- all JVM; partial aggregation combines map-side."""
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, i, minhash): the long-format signature view -- a zero-shuffle
+    stack (unpivot) projection over `minhash_signatures_wide`."""
+    pairs = ", ".join(f"{i}, m{i}" for i in range(NUM_HASHES))
+    return minhash_signatures_wide(sh, id_col).select(
+        id_col,
+        F.expr(f"stack({NUM_HASHES}, {pairs}) AS (i, minhash)"),
+    ).select(id_col, F.col("i").cast("int"), "minhash")
+
+
+def band_signatures(wide: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, sig) from the wide signature row as a PURE PROJECTION
+    + LSH_BANDS-row explode: band = i // LSH_ROWS, sig = md5 of the
+    band's '%02d:%d'-formatted minhashes joined in i order (identical
+    string to the SQL oracle's ORDER BY i string_agg)."""
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[
+                F.format_string("%02d:%d", F.lit(i), F.col(f"m{i}"))
+                for i in range(b * LSH_ROWS, (b + 1) * LSH_ROWS)
+            ])).alias("sig"),
+        )
+        for b in range(LSH_BANDS)
+    ])
     return (
-        sh.select(id_col, "hm", F.explode(F.sequence(F.lit(0), F.lit(NUM_HASHES - 1))).alias("i"))
-        .select(id_col, "i", affine_col(F.col("hm"), F.col("i")).alias("av"))
-        .groupBy(id_col, "i")
-        .agg(F.min("av").alias("minhash"))
+        wide.select(id_col, F.explode(bands).alias("g"))
+        .select(id_col, F.col("g.band").alias("band"), F.col("g.sig").alias("sig"))
     )
 
 
 def lsh_candidates(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Band signatures -> bucket join -> unordered candidate pairs (a<b).
 
-    band = i // LSH_ROWS; band signature = md5 of the concatenated
-    minhashes in band order."""
+    Accepts the LONG signature format (id, i, minhash) for API compat;
+    `minhash_dedup_pairs` goes through the wide path
+    (`minhash_signatures_wide` -> `band_signatures`), which skips this
+    groupBy entirely."""
     bands = (
         sig.withColumn("band", F.floor(F.col("i") / LSH_ROWS).cast("int"))
         .groupBy(id_col, "band")
@@ -87,6 +121,10 @@ def lsh_candidates(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ).alias("sig")
         )
     )
+    return _band_join(bands, id_col)
+
+
+def _band_join(bands: DataFrame, id_col: str) -> DataFrame:
     left = bands.select(F.col(id_col).alias("a"), "band", "sig")
     right = bands.select(F.col(id_col).alias("b"), "band", "sig")
     return (
@@ -158,9 +196,11 @@ def minhash_dedup_pairs(
     docs: DataFrame, threshold: float = 0.5, id_col: str = "doc_id"
 ) -> DataFrame:
     """Full LSH pipeline: shingle -> sign -> band -> candidates ->
-    exact-Jaccard verification at `threshold`."""
+    exact-Jaccard verification at `threshold`. Wide path: one shuffle
+    for all k signature mins, band signatures as a projection."""
     sh = doc_shingle_hashes(docs, id_col=id_col)
-    cands = lsh_candidates(minhash_signatures(sh, id_col), id_col)
+    bands = band_signatures(minhash_signatures_wide(sh, id_col), id_col)
+    cands = _band_join(bands, id_col)
     return jaccard_pairs(sh, cands, id_col=id_col, threshold=threshold)
 
 

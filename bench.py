@@ -218,8 +218,15 @@ def run_cascade_only() -> dict:
     from prom_tsdb_copyer_spark.session import get_spark
 
     n_rows = ensure_bench_input()
+    # scaling legs fix the shuffle partition count across parallelism
+    # levels (SCALING_SHUFFLE): "the same job at two cluster sizes"
+    # means the same decomposition -- letting partitions track cpu count
+    # changes the work units between levels and confounds the ratio
+    # (and 45M/8 partitions at 2 cores spills)
+    shuffle = int(os.environ.get("SCALING_SHUFFLE", "0")) or max(2 * CPUS, 8)
+    reps = int(os.environ.get("SCALING_MIN_OF", "2"))
     spark = get_spark(app_name=f"bench-{CPUS}", cores=CPUS,
-                      shuffle_partitions=max(2 * CPUS, 8))  # 2 waves: zipf conv skew balances
+                      shuffle_partitions=shuffle)
     transcripts = spark.read.parquet(BENCH_INPUT)
     out_root = f"/tmp/bench_tiers_{CPUS}"
 
@@ -240,17 +247,17 @@ def run_cascade_only() -> dict:
         t1d = reaggregate(reaggregate(t1m, SERIES, "1h"), SERIES, "1d")
         t1d.write.format("noop").mode("overwrite").save()
 
-    # warm-up pass (JVM/codegen warm, OS page cache), then best of two
-    # measured passes: this sandbox disk shows +-25% run-to-run
-    # contention noise and min-of-k is the standard way to measure the
-    # engine rather than the neighbors
+    # warm-up pass (JVM/codegen warm, OS page cache), then best of
+    # SCALING_MIN_OF measured passes: this sandbox disk shows +-25%
+    # run-to-run contention noise and min-of-k is the standard way to
+    # measure the engine rather than the neighbors
     timed(job)
-    secs = min(timed(job)[0], timed(job)[0])
+    secs = min(timed(job)[0] for _ in range(reps))
     timed(agg_job)
-    agg_secs = min(timed(agg_job)[0], timed(agg_job)[0])
+    agg_secs = min(timed(agg_job)[0] for _ in range(reps))
     spark.stop()
     return {"seconds": secs, "agg_seconds": agg_secs,
-            "rows": n_rows, "cpus": CPUS}
+            "rows": n_rows, "cpus": CPUS, "shuffle": shuffle}
 
 
 if __name__ == "__main__":

@@ -95,7 +95,7 @@ def run_bench() -> dict:
     # --cascade-only). The cold one-shot is reported alongside.
     cold_secs, _ = timed(full_cascade)
     queries["rollup_cascade_cold"] = round(cold_secs, 3)
-    secs = min(timed(full_cascade)[0], timed(full_cascade)[0])
+    secs = min(timed(full_cascade)[0] for _ in range(3))
     queries["rollup_cascade_write"] = round(secs, 3)
     headline = n_rows / secs
 

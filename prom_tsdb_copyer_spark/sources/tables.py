@@ -71,6 +71,12 @@ def time_extent(df: DataFrame, ts_col: str = "ts") -> tuple[int, int]:
 #: 22M-row finest-tier write for ~8% more bytes than the default (3) --
 #: the sink is the throughput-critical leg, bytes are cheap
 ZSTD_LEVEL = "1"
+#: dictionary encoding off: tier pages are mostly-unique numerics plus
+#: moderately-repeating series strings -- building dictionaries cost
+#: ~15% of the finest-tier write wall for a 17% byte saving; zstd
+#: already exploits the string repetition. At an S3-backed 100 TB
+#: deployment flip this back on (bytes dominate there).
+PARQUET_DICT = "false"
 
 
 def write_tier(
@@ -118,6 +124,7 @@ def write_tier(
         out = out.sortWithinPartitions("part_day", "bucket_ms")
         (out.write.option("partitionOverwriteMode", "dynamic")
             .option("parquet.compression.codec.zstd.level", ZSTD_LEVEL)
+            .option("parquet.enable.dictionary", PARQUET_DICT)
             .partitionBy("part_day").mode(mode).parquet(path))
         return
     if partition_by_day:
@@ -141,8 +148,10 @@ def write_tier(
             ).sortWithinPartitions("part_day", "bucket_ms")
         (out.write.option("partitionOverwriteMode", "dynamic")
             .option("parquet.compression.codec.zstd.level", ZSTD_LEVEL)
+            .option("parquet.enable.dictionary", PARQUET_DICT)
             .partitionBy("part_day").mode(mode).parquet(path))
     else:
         (out.write.option("partitionOverwriteMode", "dynamic")
             .option("parquet.compression.codec.zstd.level", ZSTD_LEVEL)
+            .option("parquet.enable.dictionary", PARQUET_DICT)
             .mode(mode).parquet(path))

@@ -31,6 +31,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from prom_tsdb_copyer_spark.functions.exact import milli_units_sql as _m_sql
 from prom_tsdb_copyer_spark.matchers import matchers_predicate
 from prom_tsdb_copyer_spark.operators.gapfill import gapfill_locf
 from prom_tsdb_copyer_spark.operators.rollup import reaggregate, rollup
@@ -80,12 +81,22 @@ def _event_labels() -> dict:
 
 
 def _round_sums(df: DataFrame) -> DataFrame:
-    return df.withColumn("sum_val", F.round(F.col("sum_val"), 3))
+    """Tier sums gated as exact BIGINT milli-units (functions/exact.py)
+    -- the r3 sweep of every accumulated-float DOUBLE from the
+    contract, not just the four that hash-failed in r2."""
+    from prom_tsdb_copyer_spark.functions.exact import milli_units
+
+    return df.withColumn("sum_mills", milli_units(F.col("sum_val"))).drop(
+        "sum_val"
+    )
 
 
-_ROLLUP_AGG_SQL = """
+def _rollup_agg_sql() -> str:
+    from prom_tsdb_copyer_spark.functions.exact import milli_units_sql
+
+    return f"""
        count(value) AS cnt,
-       round(sum(value), 3) AS sum_val,
+       {milli_units_sql('sum(value)')} AS sum_mills,
        min(value) AS min_val,
        max(value) AS max_val,
        arg_min(value, epoch_us(ts)) AS first_val,
@@ -93,6 +104,9 @@ _ROLLUP_AGG_SQL = """
        min(epoch_us(ts)) AS first_ord,
        max(epoch_us(ts)) AS last_ord
 """
+
+
+_ROLLUP_AGG_SQL = _rollup_agg_sql()
 
 
 def _rollup_sql(tier_ms: int, where: str = "") -> str:
@@ -433,10 +447,15 @@ def q_cube_counts(spark, sf_dir):
     ev = _events(spark, sf_dir)
     from prom_tsdb_copyer_spark.operators.windows import bucket_ms_col
 
+    from prom_tsdb_copyer_spark.functions.exact import milli_units
+
     return (
         ev.withColumn("bucket_ms", bucket_ms_col(F.col("ts"), DAY_MS))
         .cube("event_type", "bucket_ms")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 3).alias("sum_val"))
+        .agg(
+            F.count("*").alias("cnt"),
+            milli_units(F.sum("value")).alias("sum_mills"),
+        )
     )
 
 
@@ -789,7 +808,11 @@ def q_streaming_tier_1m(spark, sf_dir):
     ckpt = os.path.join(work, "ckpt")
     tier = streaming_tier_1m(spark, src, ev.schema, SERIES)
     q = run_available_now(tier, out, ckpt)
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        # timed out: a half-written tier would gate as a silent
+        # mismatch -- fail loudly instead
+        q.stop()
+        raise RuntimeError("streaming_tier_1m: stream did not drain in 600s")
     return spark.read.parquet(out).drop("part_day").select(
         *SERIES, "bucket_ms", "cnt",
         milli_units(F.col("sum_val")).alias("sum_mills"),
@@ -1176,7 +1199,7 @@ _SESSIONS_SQL = f"""
            min(t) AS start_ms, max(t) AS end_ms,
            max(t) - min(t) AS duration_ms,
            count(*) AS n_events,
-           CAST(round(sum(value) * 1000) AS BIGINT) AS sum_mills
+           {_m_sql('sum(value)')} AS sum_mills
     FROM s2 GROUP BY 1, 2, 3
 """
 
@@ -1218,7 +1241,7 @@ def _core_oracles() -> dict[str, str]:
               SELECT user_id, event_type,
                      (epoch_ms(ts) // {MINUTE_MS}) * {MINUTE_MS} AS bucket_ms,
                      count(value) AS cnt,
-                     CAST(round(sum(value) * 1000) AS BIGINT) AS sum_mills,
+                     {_m_sql('sum(value)')} AS sum_mills,
                      min(value) AS min_val, max(value) AS max_val,
                      arg_min(value, epoch_us(ts)) AS first_val,
                      arg_max(value, epoch_us(ts)) AS last_val,
@@ -1254,7 +1277,7 @@ def _core_oracles() -> dict[str, str]:
                        PARTITION BY user_id, event_type ORDER BY bucket_ms
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_val_filled
               FROM dense)
-            WHERE bucket_ms BETWEEN 1704067200000 AND 1704931199999
+            WHERE bucket_ms BETWEEN {GATE_SLICE[0]} AND {GATE_SLICE[1]}
         """,
         "gorilla_roundtrip": """
             SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, value FROM events
@@ -1273,7 +1296,7 @@ def _core_oracles() -> dict[str, str]:
             SELECT user_id, event_type,
                    (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms,
                    count(value) AS cnt,
-                   round(sum(value), 3) AS sum_val,
+                   {_m_sql('sum(value)')} AS sum_mills,
                    min(value) AS min_val,
                    max(value) AS max_val,
                    arg_min(value, epoch_ms(ts)) AS first_val,
@@ -1314,7 +1337,7 @@ def _core_oracles() -> dict[str, str]:
             -- milli-unit sum + exact count; no DOUBLE in the gated row
             SELECT user_id, event_type,
                    (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS window_ms,
-                   CAST(round(sum(value) * 1000) AS BIGINT) AS sum_mills,
+                   {_m_sql('sum(value)')} AS sum_mills,
                    count(value) AS cnt
             FROM events GROUP BY 1, 2, 3
         """,
@@ -1337,7 +1360,7 @@ def _core_oracles() -> dict[str, str]:
             FROM grid g ASOF LEFT JOIN s
               ON g.user_id = s.user_id AND g.event_type = s.event_type
              AND g.t_ms >= s.t_ms
-            WHERE g.t_ms BETWEEN 1704067200000 AND 1704931199999
+            WHERE g.t_ms BETWEEN {GATE_SLICE[0]} AND {GATE_SLICE[1]}
         """,
         "rate_1d": f"""
             WITH t AS (
@@ -1389,7 +1412,7 @@ def _core_oracles() -> dict[str, str]:
                     FROM events)
             SELECT s.user_id, s.event_type, s.session_idx,
                    count(*) AS n_matched,
-                   CAST(round(sum(p.value) * 1000) AS BIGINT) AS sum_mills_matched
+                   {_m_sql('sum(p.value)')} AS sum_mills_matched
             FROM sess s JOIN pts p
               ON p.user_id = s.user_id AND p.event_type = s.event_type
              AND p.t BETWEEN s.start_ms AND s.end_ms
@@ -1427,14 +1450,14 @@ def _core_oracles() -> dict[str, str]:
         "cube_counts": f"""
             SELECT event_type,
                    (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms,
-                   count(*) AS cnt, round(sum(value), 3) AS sum_val
+                   count(*) AS cnt, {_m_sql('sum(value)')} AS sum_mills
             FROM events GROUP BY CUBE (1, 2)
         """,
         "histogram_rollup": f"""
             SELECT user_id, event_type,
                    (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS bucket_ms,
                    count(*) AS hist_count,
-                   CAST(round(sum(value) * 1000) AS BIGINT) AS hist_sum_mills,
+                   {_m_sql('sum(value)')} AS hist_sum_mills,
                    sum(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS le_10,
                    sum(CASE WHEN value <= 20 THEN 1 ELSE 0 END) AS le_20,
                    sum(CASE WHEN value <= 40 THEN 1 ELSE 0 END) AS le_40,

@@ -87,12 +87,13 @@ def run_bench() -> dict:
             spark, transcripts, CopyJob(), out_root, collect_counts=False
         )
 
-    # warm-up pass (JVM/codegen warm, OS page cache) then min of two
+    # warm-up pass (JVM/codegen warm, OS page cache) then min of THREE
     # measured passes: steady-state, matching the reference benchmark's
     # warm comparison (BASELINE.md); this sandbox's one shared disk shows
     # +-25% run-to-run contention noise, and min-of-k is the standard way
     # to measure the engine rather than the neighbors (same protocol as
-    # --cascade-only). The cold one-shot is reported alongside.
+    # --cascade-only, whose SCALING_MIN_OF defaults to 3 as well). The
+    # cold one-shot is reported alongside.
     cold_secs, _ = timed(full_cascade)
     queries["rollup_cascade_cold"] = round(cold_secs, 3)
     secs = min(timed(full_cascade)[0] for _ in range(3))
@@ -224,7 +225,7 @@ def run_cascade_only() -> dict:
     # changes the work units between levels and confounds the ratio
     # (and 45M/8 partitions at 2 cores spills)
     shuffle = int(os.environ.get("SCALING_SHUFFLE", "0")) or max(2 * CPUS, 8)
-    reps = int(os.environ.get("SCALING_MIN_OF", "2"))
+    reps = int(os.environ.get("SCALING_MIN_OF", "3"))
     spark = get_spark(app_name=f"bench-{CPUS}", cores=CPUS,
                       shuffle_partitions=shuffle)
     transcripts = spark.read.parquet(BENCH_INPUT)

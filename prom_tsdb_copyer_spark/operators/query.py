@@ -188,16 +188,8 @@ def delta_over_time(
     from tier columns alone -- same selection algebra as increase() but
     without counter semantics (negative deltas are meaningful).
     Documented divergence from PromQL: no edge extrapolation."""
-    w_ms = TIER_MS[window] if isinstance(window, str) else int(window)
-    return (
-        tier_df.withColumn(
-            "window_ms", (F.floor(F.col("bucket_ms") / w_ms) * w_ms).cast("long")
-        )
-        .groupBy(*series_cols, "window_ms")
-        .agg(
-            (F.max_by("last_val", F.col("last_ord"))
-             - F.min_by("first_val", F.col("first_ord"))).alias("delta")
-        )
+    return increase(tier_df, series_cols, window).select(
+        *series_cols, "window_ms", F.col("increase").alias("delta")
     )
 
 
@@ -210,7 +202,9 @@ def idelta_irate(
     tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """PromQL idelta()/irate(): difference (and per-second rate) of the
-    LAST TWO samples in each window. Needs raw per-sample order (not
+    LAST TWO samples in each window -- BOTH samples must lie inside the
+    window (PromQL range semantics; a window whose last pair straddles
+    the boundary emits nothing). Needs raw per-sample order (not
     tier-derivable): one lag window per series, then max_by(window) --
     the same single-shuffle shape as counter_resets. irate uses counter
     semantics (resets clamp to the new value); idelta is the plain
@@ -234,9 +228,15 @@ def idelta_irate(
         F.when(F.col(value_col) >= prev_v, F.col(value_col) - prev_v)
         .otherwise(F.col(value_col)).alias("_inc"),
         (cur_t - prev_t).alias("_dt_us"),
+        # the PREVIOUS sample's window: pairs must not straddle
+        (F.floor(prev_t / F.lit(1000) / w_ms) * w_ms).cast("long")
+        .alias("_prev_window_ms"),
     )
     return (
-        d.where(F.col("_dt_us").isNotNull())
+        d.where(
+            F.col("_dt_us").isNotNull()
+            & (F.col("_prev_window_ms") == F.col("window_ms"))
+        )
         .groupBy(*series_cols, "window_ms")
         .agg(
             F.max_by("_idelta", F.col("_t")).alias("idelta"),
@@ -279,7 +279,6 @@ def deriv(
         F.sum(t_s * v).alias("_stv"),
         F.sum(t_s * t_s).alias("_stt"),
         F.max(t_s).alias("_t_last"),
-        F.max_by(v, t_s).alias("_v_last"),
     )
     denom = F.col("_n") * F.col("_stt") - F.col("_st") * F.col("_st")
     slope = F.when(
@@ -293,4 +292,4 @@ def deriv(
             "predicted",
             slope * (F.col("_t_last") + F.lit(float(predict_ahead_s))) + intercept,
         )
-    return out.drop("_n", "_st", "_sv", "_stv", "_stt", "_t_last", "_v_last")
+    return out.drop("_n", "_st", "_sv", "_stv", "_stt", "_t_last")

@@ -204,6 +204,18 @@ def run_and_write_rollups(
         if i == 0:
             tier_df = first_tier(filtered, tier, cl)
         else:
+            # a fully-filtered input writes NO parquet files at the
+            # finest tier (dynamic overwrite, zero partitions); coarser
+            # levels then have nothing to aggregate and the read-back
+            # would crash on schema inference -- stop cleanly (the
+            # manifest layer records rows_in=0 for the window)
+            from pathlib import Path as _Path
+
+            if not any(_Path(prev_path).rglob("*.parquet")):
+                for t in job.tiers[i:]:
+                    if collect_counts:
+                        rows[str(t)] = 0
+                break
             prev = spark.read.parquet(prev_path).drop("part_day")
             if range_ms is not None:
                 tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)

@@ -126,7 +126,9 @@ def test_empty_window_records_zero_rows(spark, transcripts, tmp_path):
     the manifest must record rows_in=0 instead of crashing on schema
     inference over the empty tier dir (ADVICE r2)."""
     lo, hi = time_extent(transcripts)
-    job = CopyJob(tiers=("1m",), matchers=("role=no-such-role",))
+    # MULTI-tier job: the crash surface includes the coarser-tier
+    # read-back of an empty finest tier, not just the manifest count
+    job = CopyJob(tiers=("1m", "1h"), matchers=("role=no-such-role",))
     root = str(tmp_path / "empty")
     res = ResumableRollup(job, root, DAY_MS, run_id="empty").run(
         transcripts, lo, lo + DAY_MS - 1

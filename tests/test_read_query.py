@@ -103,9 +103,15 @@ def test_idelta_irate_vs_pandas(spark, transcripts, transcripts_pdf):
             gt = gt.sort_values("us", kind="stable")
             prev_v = gt["value"].shift(1)
             prev_t = gt["us"].shift(1)
-            gt = gt.assign(_pd=gt["value"] - prev_v, _dt=gt["us"] - prev_t)
+            prev_win = (prev_t // 1000 // DAY_MS) * DAY_MS
+            gt = gt.assign(
+                _pd=gt["value"] - prev_v,
+                _dt=gt["us"] - prev_t,
+                _pw=prev_win,
+            )
             for win, gw in gt.groupby("window_ms"):
-                gw2 = gw[gw["_dt"].notna()]
+                # PromQL range semantics: BOTH samples inside the window
+                gw2 = gw[gw["_dt"].notna() & (gw["_pw"] == win)]
                 if gw2.empty:
                     continue
                 last = gw2.iloc[-1]
@@ -119,6 +125,8 @@ def test_idelta_irate_vs_pandas(spark, transcripts, transcripts_pdf):
                 assert abs(got[k][1] - want[1]) < 1e-9
                 n_checked += 1
     assert n_checked > 100
+    # and nothing extra: every emitted (series, window) had a within-window pair
+    assert len(got) == n_checked
 
 
 def test_deriv_and_predict_linear(spark, transcripts, transcripts_pdf):

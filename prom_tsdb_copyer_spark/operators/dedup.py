@@ -405,3 +405,24 @@ def simhash_pairs_blocked(
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def dedup_normalized(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-exact dedup on NORMALIZED text -- lowercased, punctuation
+    stripped, whitespace collapsed -- the standard first escalation when
+    byte-exact dedup misses trivially reformatted duplicates (casing,
+    smart quotes, double spaces). Identical hash group-by shape (and
+    scale behavior) to `dedup_exact`; the normalizer is pure codegen."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}\p{N}\s]", ""),
+            r"\s+", " ",
+        )
+    )
+    return (
+        docs.select(F.md5(norm).alias("norm_hash"), F.col(id_col))
+        .groupBy("norm_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dupes"))
+    )

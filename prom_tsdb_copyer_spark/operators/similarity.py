@@ -340,3 +340,88 @@ def bucketed_neardup(
         .where(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale) -- the standard storage/IO scale path for
+    embedding corpora (4x smaller than float32, 8x than float64).
+    Pure column algebra (transform + fold), no UDF; `scale` rides along
+    so any consumer can dequantize. Zero vectors keep scale=0 and an
+    all-zero qvec."""
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+    return embeddings.select(
+        id_col,
+        F.transform(
+            v,
+            lambda x: F.when(
+                scale > 0, F.round(x / scale, 0)
+            ).otherwise(F.lit(0.0)).cast("tinyint"),
+        ).alias("qvec"),
+        scale.alias("scale"),
+    )
+
+
+def dequantize(qdf: DataFrame, out_col: str = "embedding") -> DataFrame:
+    """Inverse of `quantize_int8` (lossy: |error| <= scale/2 per dim)."""
+    return qdf.withColumn(
+        out_col,
+        F.transform(F.col("qvec"), lambda q: q.cast("double") * F.col("scale")),
+    )
+
+
+def brute_force_topk_quantized(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine over the INT8-quantized corpus: the integer dot
+    product is exact in int space (sum |q|<=127^2*dim < 2^31 for
+    dim<=128, accumulated as long), scaled back by scale_a*scale_b --
+    cosine of the quantized vectors, an approximation of the float
+    cosine whose recall@k is pytest-gated. At 100 TB this is the scan
+    path: 8x less IO than float64 with the same broadcast nested-loop
+    plan as `brute_force_topk`."""
+    from pyspark.sql import Window
+
+    qcorpus = quantize_int8(embeddings, id_col, vec_col)
+    qqueries = quantize_int8(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("scale").alias("q_scale"),
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("long") * y.cast("long"))),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    dot = idot(F.col("qvec"), F.col("q_qvec")).cast("double")
+    na = F.sqrt(idot(F.col("qvec"), F.col("qvec")).cast("double"))
+    nb = F.sqrt(idot(F.col("q_qvec"), F.col("q_qvec")).cast("double"))
+    scored = (
+        qcorpus.crossJoin(F.broadcast(qqueries))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            # scales cancel in cosine; compute from int dots directly
+            F.round(dot / (na * nb), 6).alias("cosine_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_q", "rank")
+    )

@@ -169,3 +169,27 @@ def test_connected_components_long_chain(spark):
     k3 = {r["n"]: r["component"]
           for r in connected_components(chain, fixed_iters=3).collect()}
     assert set(k3.values()) != {0}  # bounded mode is a different function
+
+
+def test_dedup_normalized_catches_reformatted(spark):
+    from prom_tsdb_copyer_spark.operators.dedup import (
+        dedup_exact,
+        dedup_normalized,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello  world"),
+            (3, "HELLO WORLD."),
+            (4, "a different document"),
+            (5, "A   different document!!"),
+            (6, "unique text"),
+        ],
+        "doc_id long, text string",
+    )
+    # byte-exact finds nothing to merge
+    assert dedup_exact(docs).count() == 6
+    norm = dedup_normalized(docs).collect()
+    groups = {r["keep_id"]: r["n_dupes"] for r in norm}
+    assert groups == {1: 3, 4: 2, 6: 1}

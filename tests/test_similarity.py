@@ -141,3 +141,43 @@ def test_full_probe_exact_any_centroids(spark, clustered_emb):
             ).collect()
         }
         assert got == exact, cent
+
+
+def test_int8_quantization_roundtrip_and_recall(spark, emb):
+    embeddings = emb
+    """Quantization error bounded by scale/2 per dim; quantized top-k
+    recall@3 vs the exact float top-k stays high (the 8x-less-IO scan
+    path must not change the neighbors much)."""
+    from prom_tsdb_copyer_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_quantized,
+        dequantize,
+        quantize_int8,
+    )
+    from pyspark.sql import functions as F
+
+    q = quantize_int8(embeddings)
+    # qvec values live in [-127, 127] and scale reproduces max|x|
+    bad = q.where(
+        F.array_max(F.transform("qvec", lambda x: F.abs(x))) > 127
+    ).count()
+    assert bad == 0
+    rt = dequantize(q).join(
+        embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("orig")),
+        "vec_id",
+    )
+    err = rt.select(
+        F.array_max(
+            F.zip_with("embedding", "orig", lambda a, b: F.abs(a - b))
+        ).alias("e"),
+        F.col("scale"),
+    )
+    assert err.where(F.col("e") > F.col("scale") * 0.5 + 1e-12).count() == 0
+
+    queries = embeddings.where(F.col("vec_id") < 20)
+    exact = brute_force_topk(embeddings, queries, k=3)
+    quant = brute_force_topk_quantized(embeddings, queries, k=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    g = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
+    recall = len(e & g) / len(e)
+    assert recall >= 0.9, recall

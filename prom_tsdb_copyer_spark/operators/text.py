@@ -110,3 +110,92 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.col(id_col), F.explode(shingle_col(F.col(text_col))).alias("sh")
     ).select(id_col, (hash60(F.col("sh")) % M).alias("hm"))
     return sh.groupBy(id_col).agg(F.min("hm").alias("fingerprint"))
+
+
+def repetition_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText
+    duplicate-n-gram family, Rae et al. 2021 -- public heuristics):
+
+      dup_token_ratio   1 - distinct/total tokens
+      dup_ngram_ratio   fraction of word n-grams that are repeats
+      top_token_ratio   share of the single most frequent token
+
+    High values flag boilerplate/template/looping text (a major LLM
+    training-data failure mode). Pure higher-order-function algebra
+    over the token array -- no explode, no UDF: the n-gram list is a
+    transform over token indices, and repeat fractions come from
+    distinct-size arithmetic; the most-frequent-token share uses one
+    aggregate fold over the distinct tokens."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - ngram, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram)),
+    )
+    grams = F.when(n >= ngram, grams).otherwise(F.array())
+    n_grams = F.size(grams)
+    n_gram_distinct = F.size(F.array_distinct(grams))
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        F.round(
+            F.when(n > 0, 1 - n_distinct / n.cast("double")).otherwise(0.0), 4
+        ).alias("dup_token_ratio"),
+        F.round(
+            F.when(n_grams > 0, 1 - n_gram_distinct / n_grams.cast("double"))
+            .otherwise(0.0),
+            4,
+        ).alias("dup_ngram_ratio"),
+        F.round(
+            F.when(n > 0, top_count / n.cast("double")).otherwise(0.0), 4
+        ).alias("top_token_ratio"),
+    )
+
+
+def gopher_quality_flags(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-rule document filters (Rae et al. 2021, public): boolean
+    flags a pipeline ANDs into keep/drop decisions --
+
+      ok_word_count       50 <= n_tokens <= 100_000
+      ok_mean_word_len    3 <= mean word length <= 10
+      ok_symbol_ratio     (#/... symbol)-to-token ratio <= 0.1
+      ok_alpha_words      >= 80% of words contain a letter
+
+    All pure column algebra; thresholds are the published defaults and
+    overridable downstream by selecting the underlying ratios."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    word_lens = F.transform(toks, lambda t: F.length(t))
+    mean_wl = F.when(
+        n > 0,
+        F.aggregate(word_lens, F.lit(0).cast("long"), lambda a, x: a + x)
+        / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+    # the rule's "symbols" are hash marks and ellipses (ASCII '...' or
+    # the single-codepoint ellipsis), NOT ordinary periods
+    n_symbols = F.regexp_count(F.col(text_col), F.lit("#|\\.\\.\\.|…"))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-zÀ-ÿ]")))
+    return docs.select(
+        F.col(id_col),
+        n.between(50, 100_000).alias("ok_word_count"),
+        mean_wl.between(3.0, 10.0).alias("ok_mean_word_len"),
+        (
+            F.when(n > 0, n_symbols / n.cast("double")).otherwise(0.0) <= 0.1
+        ).alias("ok_symbol_ratio"),
+        (
+            F.when(n > 0, alpha_words / n.cast("double")).otherwise(0.0) >= 0.8
+        ).alias("ok_alpha_words"),
+    )

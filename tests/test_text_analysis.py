@@ -91,3 +91,45 @@ def test_fake_decode_deterministic():
     a = fake_decode_image(b"hello world", 4, 4)
     b = fake_decode_image(b"hello world", 4, 4)
     assert a.shape == (4, 4, 3) and np.array_equal(a, b)
+
+
+def test_repetition_scores(spark):
+    from prom_tsdb_copyer_spark.operators.text import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),          # one token repeated
+            (2, "a b c d e f g h i j"),                    # all distinct
+            (3, "x y z x y z x y z x y z"),                # repeated trigram
+            (4, ""),                                        # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_scores(docs).collect()}
+    assert got[1]["dup_token_ratio"] > 0.8 and got[1]["top_token_ratio"] == 1.0
+    assert got[2]["dup_token_ratio"] == 0.0 and got[2]["dup_ngram_ratio"] == 0.0
+    assert got[3]["dup_ngram_ratio"] > 0.6          # trigrams repeat heavily
+    assert got[4]["dup_token_ratio"] == 0.0 and got[4]["dup_ngram_ratio"] == 0.0
+
+
+def test_gopher_quality_flags(spark):
+    from prom_tsdb_copyer_spark.operators.text import gopher_quality_flags
+
+    long_ok = " ".join(["the quick brown fox jumps over a lazy dog now"] * 6)
+    symbols = " ".join(["ok"] * 60) + " " + "# " * 20
+    numeric = " ".join(["1234"] * 60)
+    docs = spark.createDataFrame(
+        [
+            (1, long_ok),           # 60 normal words -> all flags pass
+            (2, "too short"),       # < 50 words
+            (3, symbols),           # symbol ratio > 0.1
+            (4, numeric),           # no alphabetic words
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert all(got[1][c] for c in
+               ("ok_word_count", "ok_mean_word_len", "ok_symbol_ratio", "ok_alpha_words"))
+    assert not got[2]["ok_word_count"]
+    assert not got[3]["ok_symbol_ratio"]
+    assert not got[4]["ok_alpha_words"]

@@ -1067,7 +1067,7 @@ def _pipeline_oracles() -> dict[str, str]:
                      sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS f
               FROM bits GROUP BY 1)
             SELECT a.doc_id AS a, b.doc_id AS b,
-                   bit_count(xor(a.f, b.f)) AS hamming
+                   bit_count(xor(a.f, b.f))::INTEGER AS hamming
             FROM fp a, fp b
             WHERE a.doc_id < b.doc_id AND bit_count(xor(a.f, b.f)) <= 3
         """,
@@ -1082,7 +1082,8 @@ def _pipeline_oracles() -> dict[str, str]:
                    SELECT *, row_number() OVER (
                      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
                    ) AS rank FROM scored)
-            SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+            SELECT query_id, neighbor_id, cosine, rank::INTEGER AS rank
+            FROM ranked WHERE rank <= 3
         """,
         # exhaustive-mode IVF == brute force -> shares its oracle
         "ivf_topk_full_probe": f"""
@@ -1095,7 +1096,8 @@ def _pipeline_oracles() -> dict[str, str]:
                    SELECT *, row_number() OVER (
                      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
                    ) AS rank FROM scored)
-            SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+            SELECT query_id, neighbor_id, cosine, rank::INTEGER AS rank
+            FROM ranked WHERE rank <= 3
         """,
         # brute-force SQL oracle for the LSH-bucketed path: at the
         # contract's full-recall config the bucketed result equals the
@@ -1105,10 +1107,11 @@ def _pipeline_oracles() -> dict[str, str]:
         # the pytest recall bound in tests/test_similarity.py
         "bucketed_neardup": _neardup_oracle(0.45),
         "text_tokens": f"""
-            SELECT doc_id, length(text) AS n_chars,
-                   len({tokens_expr}) AS n_tokens,
-                   len(list_distinct({tokens_expr})) AS n_distinct_tokens,
-                   len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+            SELECT doc_id, length(text)::INTEGER AS n_chars,
+                   len({tokens_expr})::INTEGER AS n_tokens,
+                   len(list_distinct({tokens_expr}))::INTEGER
+                     AS n_distinct_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::INTEGER
                      AS n_subword_tokens
             FROM documents
         """,
@@ -1191,9 +1194,10 @@ _SESSIONS_SQL = f"""
       WINDOW w AS (PARTITION BY user_id, event_type
                    ORDER BY epoch_ms(ts), event_id)),
     s2 AS (
-      SELECT *, sum(st) OVER (
+      SELECT *, CAST(sum(st) OVER (
         PARTITION BY user_id, event_type ORDER BY t, event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+        AS session_idx
       FROM s)
     SELECT user_id, event_type, session_idx,
            min(t) AS start_ms, max(t) AS end_ms,
@@ -1458,9 +1462,9 @@ def _core_oracles() -> dict[str, str]:
                    (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS bucket_ms,
                    count(*) AS hist_count,
                    {_m_sql('sum(value)')} AS hist_sum_mills,
-                   sum(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS le_10,
-                   sum(CASE WHEN value <= 20 THEN 1 ELSE 0 END) AS le_20,
-                   sum(CASE WHEN value <= 40 THEN 1 ELSE 0 END) AS le_40,
+                   count(*) FILTER (value <= 10) AS le_10,
+                   count(*) FILTER (value <= 20) AS le_20,
+                   count(*) FILTER (value <= 40) AS le_40,
                    count(*) AS le_inf
             FROM events GROUP BY 1, 2, 3
         """,

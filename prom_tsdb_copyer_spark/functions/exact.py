@@ -11,13 +11,22 @@ locally. The fix is to change the *type*, not the rounding discipline:
 
     sum_mills = CAST(round(sum(value) * 1000) AS BIGINT)
 
-For inputs with exactly two decimals (the fixture contract), the true
-mathematical sum*1000 is an integer multiple of 10, so the float
-accumulation error (~ULP) leaves the value ~5 away from any rounding
-midpoint -- every engine, version, and summation order rounds to the
-SAME integer, and integers hash identically everywhere. Quotients
-(averages) are not emitted at all: consumers derive them from the exact
-``(sum_mills, cnt)`` pair.
+For inputs with exactly two decimals (a fixture property PINNED by
+``tests/test_oracle_contract.py::test_fixture_values_are_two_decimal``,
+not assumed), the true mathematical sum*1000 is an integer multiple of
+10, so the nearest round-to-integer midpoint is 0.5 milli-units away
+(5e-4 in value units). The float accumulation error must stay below
+that margin: a worst-case *sequential* bound (~n * ulp * sum|x|) would
+exceed 5e-4 somewhere past ~1e7 same-group rows, but both engines use
+blocked/partial accumulation (Spark partial-agg per partition, DuckDB
+vectorized chunks), whose error grows ~log(n)-ish, and gated groups are
+time-bucketed so per-group n is bounded by the bucket width regardless
+of total scale. The live margin on the real fixture is asserted by
+``test_oracle_contract.py::test_milliunit_sums_away_from_midpoints``
+and the order-invariance by ``test_exact.py``. Every engine, version,
+and summation order then rounds to the SAME integer, and integers hash
+identically everywhere. Quotients (averages) are not emitted at all:
+consumers derive them from the exact ``(sum_mills, cnt)`` pair.
 """
 
 from __future__ import annotations

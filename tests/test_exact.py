@@ -74,3 +74,34 @@ def test_milliunit_spark_matches_python(spark):
         want[k] = want.get(k, 0) + round(v * 100) * 10
     assert got == want
     assert all(isinstance(v, int) and not math.isnan(v) for v in got.values())
+
+
+def test_milliunit_large_single_group(spark):
+    """ADVICE r3: pin the real margin at large n. One group, 10^6
+    shuffled 2-decimal rows across many partitions — the blocked
+    (partial-agg) accumulation must stay well inside the 0.5-milli-unit
+    midpoint margin, and the rounded integer must equal the exact sum."""
+    from pyspark.sql import functions as F
+
+    from prom_tsdb_copyer_spark.functions.exact import milli_units
+
+    n = 1_000_000
+    # deterministic pseudo-random 2-decimal values in [-100, 100],
+    # generated Spark-side (no 10^6-row driver upload)
+    df = (
+        spark.range(n)
+        .withColumn("v", F.round((F.xxhash64("id") % 20001) / 100.0 - 100.0, 2))
+        .repartition(32)
+    )
+    got = df.agg(milli_units(F.sum("v")).alias("m")).collect()[0]["m"]
+    # exact integer reference: cents via the same hash, summed as longs
+    want = (
+        df.agg(
+            F.sum(F.round(F.col("v") * 100, 0).cast("long")).alias("c")
+        ).collect()[0]["c"]
+        * 10
+    )
+    assert got == want
+    # and the float sum's midpoint distance stays macroscopic
+    s = df.agg(F.sum("v")).collect()[0][0] * 1000
+    assert abs(s - round(s)) < 0.4

@@ -23,6 +23,48 @@ TABLES = (
 ).split()
 
 
+# r3 lesson (VERDICT r3 "What's wrong" #1): three oracles emitted DuckDB
+# HUGEINT (INT128) from integer sum(); values matched locally because
+# fetchall() collapses HUGEINT and BIGINT to Python int, but the driver's
+# hasher canonicalizes INT128 differently -> two rounds of hash-fails the
+# value comparison could never see. So the local gate now audits TYPES:
+# no oracle column may be HUGEINT/UHUGEINT/DECIMAL, and each DuckDB
+# column type must map to the Spark column's.
+FORBIDDEN_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+_SPARK2DUCK = {
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER"},
+    "smallint": {"SMALLINT"},
+    "tinyint": {"TINYINT"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP WITH TIME ZONE", "TIMESTAMPTZ"},
+    "timestamp_ntz": {"TIMESTAMP"},
+    "binary": {"BLOB"},
+}
+
+
+def type_audit(s_dtypes, d_cols, d_types):
+    """Return a list of per-column type problems (empty == clean)."""
+    problems = []
+    duck = {c: str(t).upper() for c, t in zip(d_cols, d_types)}
+    for col, dt in duck.items():
+        if any(dt.startswith(bad) for bad in FORBIDDEN_DUCK_TYPES):
+            problems.append(f"{col}: oracle type {dt} is forbidden "
+                            f"(hash-unstable at the driver) -- CAST it")
+    for col, st in s_dtypes:
+        dt = duck.get(col)
+        if dt is None:
+            continue  # column-name mismatch reported separately
+        want = _SPARK2DUCK.get(st)
+        if want is not None and dt not in want:
+            problems.append(f"{col}: spark {st} vs duckdb {dt}")
+    return problems
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -67,18 +109,25 @@ def main(names: list[str]) -> int:
             if name not in oracles:
                 print(f"  {name}: rows-only ({len(s_rows)} rows, no oracle)")
                 continue
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            rel = con.sql(oracles[name])
+            d_cols = list(rel.columns)
+            d_types = list(rel.types)
+            d_rows = rel.fetchall()
+            type_problems = type_audit(sdf.dtypes, d_cols, d_types)
             ok_cols = sorted(s_cols) == sorted(d_cols)
             ok_count = len(s_rows) == len(d_rows)
             sc, dc = canon(s_rows, s_cols), canon(d_rows, d_cols)
             ok_vals = sc == dc
-            status = "OK" if (ok_cols and ok_count and ok_vals) else "FAIL"
+            ok_types = not type_problems
+            status = ("OK" if (ok_cols and ok_count and ok_vals and ok_types)
+                      else "FAIL")
             if status == "FAIL":
                 failures += 1
                 print(f"  {name}: FAIL cols={ok_cols} count={ok_count} "
-                      f"({len(s_rows)} vs {len(d_rows)}) vals={ok_vals}")
+                      f"({len(s_rows)} vs {len(d_rows)}) vals={ok_vals} "
+                      f"types={ok_types}")
+                for p in type_problems:
+                    print(f"    type: {p}")
                 if not ok_cols:
                     print(f"    spark: {sorted(s_cols)}\n    duck:  {sorted(d_cols)}")
                 if ok_cols and ok_count and not ok_vals:

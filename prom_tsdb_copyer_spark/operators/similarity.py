@@ -174,9 +174,15 @@ def top_cells(
     round_to: int | None = 6,
 ) -> DataFrame:
     """n_probe best cells per row: sort the literal similarity array and
-    slice its tail -- projection + n_probe-row explode, no window."""
+    slice its tail -- projection + n_probe-row explode, no window.
+
+    n_probe is clamped to len(cents): F.slice with a negative start
+    whose magnitude exceeds the array length returns EMPTY (not the
+    whole array), which would silently drop every query row (ADVICE
+    r3); clamping restores probe-everything semantics."""
+    n = min(n_probe, len(cents))
     arr = F.array_sort(_cell_sims(F.col(vec_col), cents, round_to))
-    picked = F.slice(arr, -n_probe, n_probe)
+    picked = F.slice(arr, -n, n)
     return df.withColumn(
         out_col, F.explode(F.transform(picked, lambda s: (-s["neg_cell"]).cast("long")))
     )

@@ -102,7 +102,7 @@ def run_and_write_rollups(
     mode: str = "overwrite",
     range_ms: tuple[int, int] | None = None,
     collect_counts: bool = False,
-) -> dict[str, int]:
+) -> dict[str | int, int]:
     """Materialized cascade: write the finest tier, then derive each
     coarser tier from the tier just computed, never from raw.
 
@@ -194,7 +194,7 @@ def run_and_write_rollups(
         lo, hi = int(hint[0]), int(hint[1])
         return (lo, max((hi - lo + 1) // (16 * n_parts), 1), n_parts)
 
-    rows: dict[str, int] = {}
+    rows: dict[str | int, int] = {}
     prev_path = None
     for i, tier in enumerate(job.tiers):
         # the coarsest re-aggregation keeps the classic two-exchange
@@ -212,9 +212,11 @@ def run_and_write_rollups(
             from pathlib import Path as _Path
 
             if not any(_Path(prev_path).rglob("*.parquet")):
+                # same key convention as the normal path (rows[tier]):
+                # int-ms tiers must not land as str keys (ADVICE r3)
                 for t in job.tiers[i:]:
                     if collect_counts:
-                        rows[str(t)] = 0
+                        rows[t] = 0
                 break
             prev = spark.read.parquet(prev_path).drop("part_day")
             if range_ms is not None:

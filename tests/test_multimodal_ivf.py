@@ -167,3 +167,18 @@ def test_wav_parse_and_audio_features(spark):
     assert got[1]["zero_cross_rate"] == pytest.approx(880 / 8000, rel=0.02)
     assert got[2]["n_channels"] == 2
     assert got[2]["rms"] == pytest.approx(0.0, abs=1e-9)  # L/R cancel in mono mix
+
+
+def test_ivf_nprobe_exceeding_ncells_is_brute_force(spark, emb):
+    """ADVICE r3: F.slice with |negative start| > array length returns
+    EMPTY, so an over-large n_probe used to silently drop every query
+    row. The clamp must restore probe-everything (== brute force)."""
+    queries = emb.where(F.col("vec_id") < 5)
+    got = ivf_topk(emb, queries, k=3, n_cells=4, n_probe=99)
+    rows = got.collect()
+    assert len(rows) == 15  # 5 queries x k=3, nothing dropped
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    assert {(r["query_id"], r["neighbor_id"]) for r in rows} == exact

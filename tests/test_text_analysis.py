@@ -133,3 +133,41 @@ def test_gopher_quality_flags(spark):
     assert not got[2]["ok_word_count"]
     assert not got[3]["ok_symbol_ratio"]
     assert not got[4]["ok_alpha_words"]
+
+
+def test_repetition_top_token_fold_matches_bruteforce(spark):
+    """The sorted run-length fold must equal a python Counter on a
+    messy mixed-frequency doc (guards the r4 rewrite of the previously
+    quadratic distinct x filter kernel)."""
+    import collections
+    import random
+
+    from prom_tsdb_copyer_spark.operators.text import repetition_scores
+
+    rnd = random.Random(11)
+    toks = [f"w{rnd.randint(0, 40)}" for _ in range(3000)]
+    text = " ".join(toks)
+    top, total = collections.Counter(toks).most_common(1)[0][1], len(toks)
+    got = repetition_scores(
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ).collect()[0]
+    assert got["top_token_ratio"] == round(top / total, 4)
+
+
+def test_repetition_scores_long_doc_not_quadratic(spark):
+    """A 100k-token document (the Gopher word-count upper bound) must
+    complete in seconds, not minutes — the old kernel was
+    O(n_tokens * n_distinct) per row (~3e9 comparisons here)."""
+    import time
+
+    from prom_tsdb_copyer_spark.operators.text import repetition_scores
+
+    toks = [f"tok{i % 30000}" for i in range(100_000)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id long, text string"
+    )
+    t0 = time.monotonic()
+    row = repetition_scores(df).collect()[0]
+    elapsed = time.monotonic() - t0
+    assert row["top_token_ratio"] == round(4 / 100_000, 4)
+    assert elapsed < 30, f"long-doc repetition took {elapsed:.1f}s"

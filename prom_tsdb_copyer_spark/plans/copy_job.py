@@ -183,16 +183,24 @@ def run_and_write_rollups(
         )
         reagg = lambda d, t, cl: reaggregate(d, series, t, cluster=cl)  # noqa: E731
 
-    # single-shuffle clustered aggregation: ~16 time chunks per write
-    # partition balances hash placement of chunk ids while keeping each
-    # output file's bucket range contiguous
+    # single-shuffle clustered aggregation: chunks-per-partition trades
+    # hash-placement balance (more, smaller chunks) against day-dir
+    # contiguity of each task's output (fewer, larger chunks -> fewer
+    # parquet files). 16 scattered each task across ~15 day dirs at
+    # bench extent (938 ~0.5MB files/tier); 8 halves the file count for
+    # a marginally wider load spread and won 5/5 interleaved reps by
+    # ~10% wall (BENCH.md r4); 4 was not reliably better than 8.
+    import os as _os
+
+    chunks_per_part = int(_os.environ.get("TIER_CHUNKS_PER_PART", "8"))
     n_parts = max(2 * spark.sparkContext.defaultParallelism, 8)
 
     def cluster_of(hint):
         if hint is None:
             return None
         lo, hi = int(hint[0]), int(hint[1])
-        return (lo, max((hi - lo + 1) // (16 * n_parts), 1), n_parts)
+        return (lo, max((hi - lo + 1) // (chunks_per_part * n_parts), 1),
+                n_parts)
 
     rows: dict[str | int, int] = {}
     prev_path = None

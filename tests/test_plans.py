@@ -99,3 +99,30 @@ def test_pre_clustered_write_plan_has_no_repartition(spark, tmp_path):
     write_tier(t, str(tmp_path / "t"), pre_clustered=True)
     got = spark.read.parquet(str(tmp_path / "t"))
     assert got.count() == 1 and "part_day" in got.columns
+
+
+def test_minhash_pipeline_single_aggregation(spark):
+    """r4 shape: the full LSH pipeline hangs off ONE shingle-set
+    aggregation — signatures/bands are projections over it, and the
+    verification stage intersects set ARRAYS per candidate pair instead
+    of re-shuffling |cands| x |shingles/doc| exploded rows (the r3
+    shape paid the shingle aggregation twice plus a 30M-row
+    intersection groupBy at sf0.1)."""
+    from prom_tsdb_copyer_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "abcdefgx"), (3, "zzzzzzzz")],
+        "doc_id long, text string",
+    )
+    p = _plan(minhash_dedup_pairs(docs, threshold=0.1))
+    # no per-pair shingle re-join: intersection happens on arrays
+    assert "array_intersect" in p
+    # the candidate groupBy (count-based intersection) is gone
+    assert "count(1) AS inter" not in p and "partial_count" not in p
+    # no join keyed on individual shingle hashes: verification joins on
+    # doc ids only (the pre-AQE plan text duplicates the reused
+    # shingle-set subtree per consumer, so subtree counts aren't
+    # pinnable here; AQE reuses the identical shuffle at runtime)
+    join_lines = [ln for ln in p.splitlines() if "Join" in ln]
+    assert join_lines, "expected join operators in the plan"
+    assert not any("hm#" in ln for ln in join_lines)

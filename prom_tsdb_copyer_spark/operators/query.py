@@ -293,3 +293,56 @@ def deriv(
             slope * (F.col("_t_last") + F.lit(float(predict_ahead_s))) + intercept,
         )
     return out.drop("_n", "_st", "_sv", "_stv", "_stt", "_t_last")
+
+
+def pick_tier(step_ms: int, tiers=("1m", "1h", "1d")) -> str | int:
+    """Resolution selection: the COARSEST tier whose grain still divides
+    the requested step resolution (Thanos-style auto-downsampling pick
+    -- the read-side payoff of keeping retention tiers at all: a
+    year-long query at 1d step reads the 1d tier, ~1440x fewer rows
+    than 1m). Falls back to the finest tier when nothing is coarse
+    enough (step below the finest grain)."""
+    grain = lambda t: TIER_MS[t] if isinstance(t, str) else int(t)  # noqa: E731
+    ok = [t for t in tiers if grain(t) <= step_ms and step_ms % grain(t) == 0]
+    if ok:
+        return max(ok, key=grain)
+    return min(tiers, key=grain)
+
+
+def read_tier_auto(
+    spark,
+    out_root: str,
+    step_ms: int,
+    from_ms: int | None = None,
+    to_ms: int | None = None,
+    tiers=("1m", "1h", "1d"),
+) -> tuple[str | int, DataFrame]:
+    """Read the materialized tier cascade (`run_and_write_rollups`
+    layout: `{out_root}/tier={t}/part_day=.../*.parquet`) at the right
+    resolution for `step_ms`, with BOTH pruning layers engaged:
+
+    * `part_day` range predicate -> directory-level partition pruning
+      (the Iceberg `days(ts)` analog -- Spark lists only the matching
+      day dirs, so a 3-day query over a year-long table touches 3
+      directories regardless of table size);
+    * `bucket_ms` range predicate -> parquet row-group stats pruning
+      inside the surviving files (files are written bucket-clustered,
+      so stats ranges are tight -- sources/tables.py).
+
+    Returns (chosen_tier, DataFrame). Query operators in this module
+    compose on top (select_series, increase, rate...)."""
+    import os
+
+    tier = pick_tier(step_ms, tiers)
+    df = spark.read.parquet(os.path.join(out_root, f"tier={tier}"))
+    if from_ms is not None or to_ms is not None:
+        lo = from_ms if from_ms is not None else 0
+        hi = to_ms if to_ms is not None else (1 << 53)
+        df = df.where(
+            F.col("part_day").between(
+                F.to_date(F.timestamp_millis(F.lit(int(lo)))),
+                F.to_date(F.timestamp_millis(F.lit(int(hi)))),
+            )
+            & F.col("bucket_ms").between(int(lo), int(hi))
+        )
+    return tier, df

@@ -5,6 +5,7 @@ in the contract; cover it here).
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from prom_tsdb_copyer_spark.operators.query import (
     avg_over_time,
@@ -163,3 +164,54 @@ def test_deriv_and_predict_linear(spark, transcripts, transcripts_pdf):
         assert abs(pred_got - want_pred) < 1e-4 * max(1.0, abs(want_pred))
         n_checked += 1
     assert n_checked > 100
+
+
+def test_pick_tier_resolution_selection():
+    from prom_tsdb_copyer_spark.operators.query import pick_tier
+    from prom_tsdb_copyer_spark.operators.windows import DAY_MS, HOUR_MS, MINUTE_MS
+
+    assert pick_tier(DAY_MS) == "1d"
+    assert pick_tier(7 * DAY_MS) == "1d"
+    assert pick_tier(HOUR_MS) == "1h"
+    assert pick_tier(6 * HOUR_MS) == "1h"  # 6h % 1d != 0 -> 1h
+    assert pick_tier(MINUTE_MS) == "1m"
+    assert pick_tier(90 * 1000) == "1m"  # 90s: 1m doesn't divide -> finest
+    assert pick_tier(1000) == "1m"  # below finest grain -> finest
+    assert pick_tier(2 * DAY_MS, tiers=(60_000, 3_600_000)) == 3_600_000
+
+
+def test_read_tier_auto_prunes_and_matches(spark, transcripts, tmp_path):
+    """read_tier_auto must pick the right tier, return values identical
+    to querying that tier directly, and show BOTH partition-level and
+    row-group pruning in the physical plan."""
+    from prom_tsdb_copyer_spark.operators.query import read_tier_auto
+    from prom_tsdb_copyer_spark.operators.windows import DAY_MS, HOUR_MS
+    from prom_tsdb_copyer_spark.plans.copy_job import CopyJob, run_and_write_rollups
+    from prom_tsdb_copyer_spark.sources.tables import time_extent
+
+    root = str(tmp_path / "tiers")
+    run_and_write_rollups(spark, transcripts, CopyJob(), root)
+    lo, hi = time_extent(transcripts)
+    q_lo = (lo // DAY_MS + 1) * DAY_MS
+    q_hi = q_lo + 3 * DAY_MS - 1
+
+    tier, df = read_tier_auto(spark, root, HOUR_MS, q_lo, q_hi)
+    assert tier == "1h"
+    direct = (
+        spark.read.parquet(f"{root}/tier=1h")
+        .where(F.col("bucket_ms").between(q_lo, q_hi))
+    )
+    got = sorted(map(tuple, df.drop("part_day").collect()))
+    want = sorted(map(tuple, direct.drop("part_day").collect()))
+    assert got and got == want
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part_day" in plan.split(
+        "PartitionFilters"
+    )[1][:200], "day-partition pruning not engaged"
+    assert "PushedFilters" in plan and "bucket_ms" in plan.split(
+        "PushedFilters"
+    )[1][:400], "bucket_ms stats pushdown not engaged"
+
+    tier_d, _ = read_tier_auto(spark, root, 7 * DAY_MS)
+    assert tier_d == "1d"

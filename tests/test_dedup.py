@@ -193,3 +193,42 @@ def test_dedup_normalized_catches_reformatted(spark):
     norm = dedup_normalized(docs).collect()
     groups = {r["keep_id"]: r["n_dupes"] for r in norm}
     assert groups == {1: 3, 4: 2, 6: 1}
+
+
+def test_minhash_jaccard_values_match_python_sets(spark):
+    """r4 set-array verification: the (inter, n_a, n_b, jaccard) emitted
+    for every candidate pair must equal a pure-python shingle-set
+    computation on randomized docs (guards the rewrite from the
+    count-based join shape)."""
+    import random
+
+    from prom_tsdb_copyer_spark.functions.hashing import SHINGLE_LEN
+    from prom_tsdb_copyer_spark.operators.dedup import minhash_dedup_pairs
+
+    rnd = random.Random(3)
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    docs = []
+    for i in range(40):
+        txt = base
+        # perturb: delete a random slice, duplicate another
+        if i % 3:
+            k = rnd.randrange(10, 60)
+            txt = txt[:k] + txt[k + rnd.randrange(1, 20):]
+        if i % 4 == 0:
+            txt += txt[: rnd.randrange(5, 40)]
+        docs.append((i, txt))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = minhash_dedup_pairs(df, threshold=0.0).collect()
+    assert got, "expected candidate pairs on near-identical docs"
+
+    def shset(t):
+        n = max(len(t) - (SHINGLE_LEN - 1), 1)
+        return {t[i:i + SHINGLE_LEN] for i in range(n)}
+
+    sets = {i: shset(t) for i, t in docs}
+    for r in got:
+        sa, sb = sets[r["a"]], sets[r["b"]]
+        inter = len(sa & sb)
+        assert r["inter"] == inter
+        assert r["n_a"] == len(sa) and r["n_b"] == len(sb)
+        assert r["jaccard"] == round(inter / len(sa | sb), 4)

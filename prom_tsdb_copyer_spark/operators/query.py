@@ -346,3 +346,38 @@ def read_tier_auto(
             & F.col("bucket_ms").between(int(lo), int(hi))
         )
     return tier, df
+
+
+def query_range(
+    spark,
+    out_root: str,
+    series_cols: list[str],
+    matchers: list[str] | None = None,
+    from_ms: int | None = None,
+    to_ms: int | None = None,
+    step_ms: int = 60_000,
+    metric_name: str = "turns",
+    tiers=("1m", "1h", "1d"),
+) -> DataFrame:
+    """The consumer-side getQueryRange analog over the MATERIALIZED
+    cascade: resolution-select the tier for `step_ms`
+    (`read_tier_auto`, both pruning layers engaged), apply label
+    matchers (ingest-identical semantics), and re-bucket to the step
+    grid when the step is coarser than the chosen tier's grain —
+    an exact algebraic re-aggregation (same merge law as the cascade:
+    counts/sums add, min/max fold, first/last pick by order key).
+
+    Output: (series..., bucket_ms, AGG_COLS) at step resolution — every
+    read-side derived aggregate in this module composes on top. At
+    100 TB this touches only the day partitions and row groups of ONE
+    tier, the whole reason retention tiers exist."""
+    from .rollup import reaggregate
+    from .windows import TIER_MS
+
+    tier, df = read_tier_auto(spark, out_root, step_ms, from_ms, to_ms, tiers)
+    df = select_series(df.drop("part_day"), series_cols,
+                       matchers=matchers, metric_name=metric_name)
+    grain = TIER_MS[tier] if isinstance(tier, str) else int(tier)
+    if step_ms > grain:
+        df = reaggregate(df, series_cols, int(step_ms))
+    return df

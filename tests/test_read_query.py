@@ -215,3 +215,34 @@ def test_read_tier_auto_prunes_and_matches(spark, transcripts, tmp_path):
 
     tier_d, _ = read_tier_auto(spark, root, 7 * DAY_MS)
     assert tier_d == "1d"
+
+
+def test_query_range_end_to_end(spark, transcripts, tmp_path):
+    """query_range = resolution pick + matchers + step re-bucketing over
+    the materialized cascade; values must equal rolling up the
+    matcher-filtered RAW data at the step grain directly."""
+    from prom_tsdb_copyer_spark.matchers import matchers_predicate
+    from prom_tsdb_copyer_spark.operators.query import query_range
+    from prom_tsdb_copyer_spark.operators.windows import DAY_MS
+    from prom_tsdb_copyer_spark.plans.copy_job import CopyJob, run_and_write_rollups
+
+    root = str(tmp_path / "tiers")
+    run_and_write_rollups(spark, transcripts, CopyJob(), root)
+
+    step = 2 * DAY_MS  # coarser than every tier -> re-bucket from 1d
+    out = query_range(
+        spark, root, SERIES, matchers=["role=assistant"], step_ms=step
+    )
+    labels = {c: F.col(c) for c in SERIES}
+    labels["__name__"] = F.lit("turns")
+    raw = transcripts.where(matchers_predicate(["role=assistant"], labels))
+    want = rollup(raw, SERIES, "value", step)
+
+    key = SERIES + ["bucket_ms"]
+    a = out.toPandas().fillna({"tool": "<null>"}).sort_values(key).reset_index(drop=True)
+    b = want.toPandas().fillna({"tool": "<null>"}).sort_values(key).reset_index(drop=True)
+    assert len(a) and set(a.columns) == set(b.columns)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)],
+                                  check_dtype=False)

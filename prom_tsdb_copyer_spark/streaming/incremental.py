@@ -322,3 +322,44 @@ def streaming_counter_resets(
         update, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup_exact(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup of a document stream: emit exactly ONE
+    arrival per text hash (the streaming twin of
+    operators/dedup.py:dedup_exact, for continuous ingest pipelines).
+    The survivor is the first PROCESSED arrival -- with a single-writer
+    ordered source that is the first event; across parallel source
+    partitions the pick within one micro-batch is arrival-order, the
+    same any-representative semantics batch dedup_exact would give
+    under min-id reassignment downstream.
+
+    `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    watermark passes the key's event time — bounded state at unbounded
+    input, the property that makes this runnable forever at ingest
+    scale (a plain dropDuplicates on a stream grows state without
+    bound). Exactness within the watermark horizon: a duplicate
+    arriving later than the watermark delay is NOT suppressed (the
+    batch dedup over the compacted table is the backstop — the standard
+    lambda-ish split this engine's batch/streaming pairs all follow)."""
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .load(source_dir)
+    )
+    stream = _with_event_time(stream, ts_col)
+    return (
+        stream.withColumn("text_hash", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+        .select("text_hash", id_col, ts_col)
+    )

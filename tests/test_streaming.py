@@ -291,3 +291,44 @@ def test_stateful_counter_resets_across_batches(spark, transcripts, tmp_path):
     }
     assert len(got) == len(want) > 50
     assert got == want
+
+
+def test_streaming_dedup_exact_first_arrival_only(spark, tmp_path):
+    """Duplicate texts arriving within the watermark horizon are
+    suppressed to exactly ONE survivor per distinct text; which arrival
+    survives is processing-order (any-representative semantics), so the
+    invariant asserted is one-per-group with the survivor a member of
+    its group."""
+    import datetime as dt
+
+    from prom_tsdb_copyer_spark.streaming.incremental import (
+        run_available_now,
+        streaming_dedup_exact,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    texts = ["alpha", "beta", "gamma", "alpha", "beta", "alpha", "delta"]
+    for i, txt in enumerate(texts):
+        rows.append((i, txt, t0 + dt.timedelta(seconds=30 * i)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    q = run_available_now(
+        streaming_dedup_exact(spark, src, docs.schema), out, ckpt
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) == 4  # one survivor per distinct text
+    groups = {"alpha": {0, 3, 5}, "beta": {1, 4}, "gamma": {2}, "delta": {6}}
+    survivors = {}
+    for _, r in got.iterrows():
+        for name, ids in groups.items():
+            if r["doc_id"] in ids:
+                assert name not in survivors, "two survivors in one group"
+                survivors[name] = r["doc_id"]
+    assert set(survivors) == set(groups)

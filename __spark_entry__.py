@@ -11,8 +11,13 @@ time-series stand-in for transcripts (user_id <-> conv_id, event_type <->
 role -- FIXTURES.md §2); `documents`/`embeddings` back the training-data
 pipeline operators (dedup / similarity / text analysis).
 
-Column-name and value discipline: every aggregate is aliased
-identically on both sides. Accumulated float sums are emitted as exact
+Column-name, value, AND type discipline: every aggregate is aliased
+identically on both sides, and every oracle column's DuckDB type must
+map exactly to the Spark column's (enforced by tools/check_oracle.py's
+type audit -- the r3 lesson: DuckDB widens integer sum() to HUGEINT,
+whose driver-side hash canonicalization differs from BIGINT even when
+every value matches; three queries hash-failed for two rounds on type
+alone). Accumulated float sums are emitted as exact
 BIGINT milli-units on BOTH engines (functions/exact.py -- the r1/r2
 lesson: rounded DOUBLEs passed every local comparison yet hash-failed
 the driver gate, because engines round the same double differently);

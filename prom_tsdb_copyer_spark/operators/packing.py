@@ -1,0 +1,85 @@
+"""Training-shard packing: assign documents to contiguous shards by a
+token budget (the shard-building step of an LLM data pipeline -- fill
+shard 0 with ~budget tokens in deterministic document order, then shard
+1, ...).
+
+The core is a DISTRIBUTED PREFIX SUM -- the textbook pattern for any
+running total at cluster scale, where a single `Window.orderBy` over
+the whole table would collapse to ONE partition (the classic
+global-window scale trap):
+
+  1. range-partition by the deterministic order key (keys are globally
+     ordered ACROSS partitions, rows ordered within);
+  2. per-partition running sum via a window keyed on the partition id
+     (parallel: each partition sums independently);
+  3. per-partition totals -> exclusive offsets with ONE tiny window
+     over n_partitions rows, broadcast-joined back;
+  4. global running total = local running sum + partition offset.
+
+Three shuffles total (range partition, per-pid window, broadcast join
+of an n_partitions-row table); nothing driver-side, no global sort of
+data rows. A document whose tokens straddle a budget boundary belongs
+to the shard where it STARTS (standard contiguous-fill packing), so a
+shard can exceed the budget by at most one document's tokens -- pinned
+in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_shards(
+    docs: DataFrame,
+    budget_tokens: int,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """(id, n_tokens, shard, shard_offset_tokens): contiguous-fill shard
+    assignment in ascending `id_col` order.
+
+    `shard_offset_tokens` is the exclusive running total at the doc's
+    start within its shard -- downstream writers use it to place the
+    document without re-scanning the shard."""
+    if n_partitions is None:
+        n_partitions = max(
+            docs.sparkSession.sparkContext.defaultParallelism, 4
+        )
+    ranged = docs.select(id_col, tokens_col).repartitionByRange(
+        n_partitions, F.col(id_col)
+    )
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = with_pid.withColumn("_local_cum", F.sum(tokens_col).over(w_local))
+
+    # exclusive partition offsets: one window over n_partitions rows
+    w_off = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.sum(tokens_col).alias("_ptotal"))
+        .withColumn("_offset", F.coalesce(F.sum("_ptotal").over(w_off),
+                                          F.lit(0)))
+        .select("_pid", "_offset")
+    )
+
+    cum_end = F.col("_local_cum") + F.col("_offset")  # inclusive total
+    cum_start = cum_end - F.col(tokens_col)  # exclusive (doc start)
+    b = F.lit(int(budget_tokens))
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .select(
+            id_col,
+            tokens_col,
+            F.floor(cum_start / b).cast("long").alias("shard"),
+            (cum_start % b).alias("shard_offset_tokens"),
+        )
+    )

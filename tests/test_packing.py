@@ -1,0 +1,76 @@
+"""Token-budget shard packing (operators/packing.py): the distributed
+prefix sum must equal a sequential python packer exactly, the plan must
+not collapse to a single-partition global window, and the one-doc
+overflow bound must hold.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from prom_tsdb_copyer_spark.operators.packing import pack_shards
+
+BUDGET = 10_000
+
+
+def _py_pack(rows, budget):
+    out, cum = {}, 0
+    for doc_id, n in sorted(rows):
+        out[doc_id] = (cum // budget, cum % budget)
+        cum += n
+    return out
+
+
+def _rows(n=5000, seed=5):
+    rnd = random.Random(seed)
+    # non-contiguous ids + heavy-tailed sizes (some docs near the budget)
+    return [
+        (i * 7 + rnd.randrange(3), min(int(rnd.paretovariate(1.2) * 80), 9_000))
+        for i in range(n)
+    ]
+
+
+def test_pack_shards_matches_sequential_packer(spark):
+    rows = _rows()
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["shard"], r["shard_offset_tokens"])
+        for r in pack_shards(df, BUDGET, n_partitions=8).collect()
+    }
+    assert got == _py_pack(rows, BUDGET)
+
+
+def test_pack_shards_fill_and_overflow_bounds(spark):
+    rows = _rows(seed=11)
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_shards(df, BUDGET, n_partitions=8)
+    per_shard = {
+        r["shard"]: r["tot"]
+        for r in packed.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .collect()
+    }
+    max_doc = max(n for _, n in rows)
+    n_shards = max(per_shard) + 1
+    for s, tot in per_shard.items():
+        assert tot <= BUDGET + max_doc  # one-straddling-doc overflow bound
+        if s < n_shards - 1:
+            # contiguous fill: every non-final shard reached its budget
+            # (its last doc started inside the budget window)
+            assert tot > BUDGET - max_doc
+
+
+def test_pack_shards_plan_is_distributed(spark):
+    """The scale trap this operator exists to avoid: a global
+    Window.orderBy collapses to ONE partition. Assert every window in
+    the plan is keyed (partitionBy) and the data-row path carries no
+    single-partition exchange."""
+    df = spark.createDataFrame(_rows(500), "doc_id long, n_tokens long")
+    plan = pack_shards(df, BUDGET, n_partitions=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the only SinglePartition exchange allowed is the n_partitions-row
+    # offsets side (its input is an aggregate over _pid, not data rows)
+    singles = [ln for ln in plan.splitlines() if "SinglePartition" in ln]
+    assert len(singles) <= 1, plan

@@ -405,3 +405,54 @@ def extract_video_features(binary_docs: DataFrame) -> DataFrame:
     return binary_docs.select("doc_id", "payload").mapInPandas(
         _extract_video_features, schema=VIDEO_FEATURE_SCHEMA
     )
+
+
+# ------------------------------------------------- perceptual image hash
+
+
+def ahash64(img: np.ndarray) -> int:
+    """64-bit average hash (aHash, the classic perceptual-hash family):
+    grayscale the frame, resize to 8x8, threshold each cell against the
+    mean -- bit i set iff cell i is brighter than average. Visually
+    similar images differ in few bits, so hamming distance <= r is the
+    near-dup criterion. REAL numpy kernel; only the compressed-bitstream
+    decode upstream is faked/stubbed in this sandbox."""
+    gray = img.astype(np.float64).mean(axis=2)
+    small = resize_nn(gray[..., None], 8, 8)[..., 0]
+    bits = (small > small.mean()).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+IMAGE_HASH_SCHEMA = "doc_id long, fp long"
+
+
+def _image_ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, fps = [], []
+        for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+            img = fake_decode_image(payload, 16, 16)
+            # int64 view: Spark LongType; sign bit carries bit 63
+            fps.append(np.uint64(ahash64(img)).astype(np.int64))
+            ids.append(int(did))
+        yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+
+def image_ahash(binary_docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): 64-bit perceptual hash per image payload."""
+    return binary_docs.select("doc_id", "payload").mapInPandas(
+        _image_ahash, schema=IMAGE_HASH_SCHEMA
+    )
+
+
+def image_neardup_pairs(
+    binary_docs: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Image near-dup pairs: perceptual hash -> EXACT pigeonhole
+    segment-block join (reuses operators/dedup.py:simhash_pairs_blocked
+    -- the same 100TB-safe shape: candidates equal on one of
+    max_hamming+1 hash segments, bit_count verify on candidates only,
+    never a cross join)."""
+    from .dedup import simhash_pairs_blocked
+
+    return simhash_pairs_blocked(image_ahash(binary_docs),
+                                 max_hamming=max_hamming)

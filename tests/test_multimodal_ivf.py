@@ -182,3 +182,61 @@ def test_ivf_nprobe_exceeding_ncells_is_brute_force(spark, emb):
         for r in brute_force_topk(emb, queries, k=3).collect()
     }
     assert {(r["query_id"], r["neighbor_id"]) for r in rows} == exact
+
+
+def test_image_ahash_deterministic_and_discriminative(spark):
+    from prom_tsdb_copyer_spark.operators.multimodal import (
+        ahash64,
+        docs_as_binary,
+        fake_decode_image,
+        image_ahash,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa" * 50), (1, "aaaa" * 50), (2, "zq9!" * 50)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["fp"] for r in
+           image_ahash(docs_as_binary(docs)).collect()}
+    assert got[0] == got[1]  # identical payloads -> identical hash
+    # spark fp == local kernel on the same fake decode
+    local = ahash64(fake_decode_image(b"aaaa" * 50, 16, 16))
+    import numpy as np
+
+    assert got[0] == np.uint64(local).astype(np.int64)
+
+
+def test_image_neardup_blocked_equals_all_pairs(spark):
+    """The pigeonhole argument must stay EXACT for 64-bit perceptual
+    hashes over the 60-bit segment layout: <= r total diffs imply <= r
+    diffs in covered bits, so one segment is clean; the verify counts
+    the full 64-bit hamming. Blocked == brute force, pairwise."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from prom_tsdb_copyer_spark.operators.dedup import simhash_pairs
+    from prom_tsdb_copyer_spark.operators.multimodal import (
+        docs_as_binary,
+        image_ahash,
+        image_neardup_pairs,
+    )
+
+    rnd = random.Random(2)
+    docs = []
+    for i in range(60):
+        base = "pattern%02d" % (i % 7)
+        # near-dups: same base pattern with small tail perturbations
+        docs.append((i, base * 30 + "x" * rnd.randrange(0, 3)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    binary = docs_as_binary(df)
+    blocked = {
+        (r["a"], r["b"], r["hamming"])
+        for r in image_neardup_pairs(binary, max_hamming=6).collect()
+    }
+    exact = {
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_pairs(image_ahash(binary), max_hamming=6).collect()
+    }
+    assert blocked == exact
+    assert blocked, "expected near-dup image pairs from shared patterns"

@@ -508,3 +508,75 @@ def dedup_normalized(
         .groupBy("norm_hash")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dupes"))
     )
+
+
+# ------------------------------------------- eval-set decontamination
+
+
+def _word_ngram_hashes(
+    docs: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, gh): distinct 60-bit hashes of word n-grams per document.
+    Tokens projected to a column first (the HOF lambda-body rule --
+    operators/text.py repetition_scores)."""
+    base = docs.select(
+        F.col(id_col),
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                 lambda t: t != "").alias("__toks"),
+    )
+    toks = F.col("__toks")
+    sz = F.size(toks)
+    grams = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(sz - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array())
+    return (
+        base.select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, hash60(F.col("g")).alias("gh"))
+        .distinct()
+    )
+
+
+def decontaminate_flags(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    ngram: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word `ngram`-gram with the eval set (the GPT-3/PaLM-style 13-gram
+    overlap rule -- public methodology). Output: (id, n_grams,
+    n_contaminated, contaminated).
+
+    Scale shape: the eval side is SMALL by nature (benchmarks), so its
+    distinct n-gram hashes BROADCAST; the corpus side is one explode ->
+    hash -> distinct -> broadcast-hash-join -- no shuffle touches the
+    corpus beyond its own distinct, and the join is map-side. Counting
+    (not just flagging) keeps the output auditable: reviewers sort by
+    n_contaminated before dropping."""
+    eval_grams = (
+        _word_ngram_hashes(eval_docs, ngram, text_col, id_col)
+        .select("gh").distinct()
+    )
+    doc_grams = _word_ngram_hashes(docs, ngram, text_col, id_col)
+    hits = (
+        doc_grams.join(F.broadcast(eval_grams), "gh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    return (
+        docs.select(id_col)
+        .join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -232,3 +232,55 @@ def test_minhash_jaccard_values_match_python_sets(spark):
         assert r["inter"] == inter
         assert r["n_a"] == len(sa) and r["n_b"] == len(sb)
         assert r["jaccard"] == round(inter / len(sa | sb), 4)
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """Planted 13-gram overlaps with a tiny eval set must be flagged,
+    counts must match a python n-gram recompute, and clean docs pass."""
+    from prom_tsdb_copyer_spark.operators.dedup import decontaminate_flags
+
+    eval_text = " ".join(f"e{i}" for i in range(20))  # 20 tokens -> 8 13-grams
+    clean = " ".join(f"c{i}" for i in range(40))
+    # doc 1 embeds a full 15-token eval span -> three 13-grams hit
+    contaminated = (
+        " ".join(f"x{i}" for i in range(5))
+        + " " + " ".join(f"e{i}" for i in range(15))
+        + " " + " ".join(f"y{i}" for i in range(5))
+    )
+    short = "tiny doc"  # < 13 tokens -> zero grams, never contaminated
+    docs = spark.createDataFrame(
+        [(1, contaminated), (2, clean), (3, short)],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame([(100, eval_text)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in decontaminate_flags(docs, evals).collect()}
+
+    def grams(text, n=13):
+        t = text.split()
+        return {" ".join(t[i:i + n]) for i in range(max(len(t) - n + 1, 0))}
+
+    eg = grams(eval_text)
+    for did, text in [(1, contaminated), (2, clean), (3, short)]:
+        g = grams(text)
+        assert got[did]["n_grams"] == len(g)
+        assert got[did]["n_contaminated"] == len(g & eg)
+        assert got[did]["contaminated"] == bool(g & eg)
+    assert got[1]["contaminated"] and not got[2]["contaminated"]
+    assert got[1]["n_contaminated"] == 3
+
+
+def test_decontaminate_eval_side_broadcast(spark):
+    """The eval n-gram relation must BROADCAST (benchmarks are small by
+    nature); the corpus side must not be broadcast."""
+    from prom_tsdb_copyer_spark.operators.dedup import decontaminate_flags
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(0, " ".join(f"q{j}" for j in range(30)))], "doc_id long, text string"
+    )
+    plan = decontaminate_flags(docs, evals)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

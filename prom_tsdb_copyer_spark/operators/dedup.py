@@ -5,15 +5,22 @@ All four flavors are pure DataFrame compositions (JVM-side, codegen'd,
 no Python in the hot path), each with a DuckDB-expressible twin so the
 driver's oracle gate covers them:
 
-  exact        md5(text) group-by, min-doc_id representative
-  minhash LSH  shingle -> 60-bit hash -> k affine permutations -> min ->
-               band -> bucket-join -> candidate pairs -> exact-Jaccard
-               verify (the standard Broder/LSH pipeline)
+  exact        md5(text) group-by, min-doc_id representative (plus the
+               normalized-text variant and a streaming twin with
+               bounded state, streaming/incremental.py)
+  minhash LSH  shingle-set aggregation -> signatures as a projection
+               over the set -> band bucket-join -> candidate pairs ->
+               set-array exact-Jaccard verify (the standard Broder/LSH
+               pipeline; one aggregation total since r4)
   simhash      60-bit fingerprint from signed token-bit sums; near-dup =
-               hamming distance <= r via bit_count(xor)
+               hamming distance <= r via bit_count(xor), exact
+               pigeonhole segment join at scale (also reused for the
+               perceptual image hashes, operators/multimodal.py)
   n-gram       exact Jaccard over character-shingle sets via a
                shared-shingle self-join (no cross join: only pairs that
                share >= 1 shingle are materialized)
+  decontam     eval-benchmark 13-gram overlap flags via a broadcast
+               n-gram hash join (decontaminate_flags)
 
 Scale notes: the minhash explode factor is k=32 per *distinct* (doc,
 shingle-hash) pair -- dedupe first, then explode; the band join

@@ -137,12 +137,6 @@ def q_tier_rollup_1h(spark, sf_dir):
     return _round_sums(reaggregate(t1m, SERIES, "1h"))
 
 
-def q_tier_rollup_1d(spark, sf_dir):
-    """A6 cascade: 1d from 1h from 1m (path-independence tested in pytest)."""
-    t1m = rollup(_events(spark, sf_dir), SERIES, "value", "1m")
-    return _round_sums(reaggregate(reaggregate(t1m, SERIES, "1h"), SERIES, "1d"))
-
-
 def _matcher_query(matchers):
     def q(spark, sf_dir):
         df = _events(spark, sf_dir).where(
@@ -350,14 +344,6 @@ def q_counter_resets_1d(spark, sf_dir):
     return counter_resets(
         _events(spark, sf_dir), SERIES, "1d", tiebreak_cols=["event_id"]
     )
-
-
-def q_minmax_over_time_1d(spark, sf_dir):
-    """Read-side extrema: exact daily min/max from tier columns."""
-    from prom_tsdb_copyer_spark.operators.query import extrema_over_time
-
-    tier = rollup(_events(spark, sf_dir), SERIES, "value", "1h")
-    return extrema_over_time(tier, SERIES, "1d")
 
 
 def q_sessionize(spark, sf_dir):

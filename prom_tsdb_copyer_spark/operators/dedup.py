@@ -160,30 +160,15 @@ def jaccard_pairs(
             F.broadcast(df_counts.where(F.col("df") <= max_df).select("hm")), "hm"
         )
     if candidates is not None:
-        # set-array verification: collect each doc's (already-distinct)
-        # shingle-hash set ONCE, join the two sides onto the candidate
-        # list, and intersect per pair in a projection. Data moved is
-        # |docs| set rows + 2x|cands| join rows; the previous
-        # candidate-first shingle join shuffled |cands| x |shingles/doc|
-        # exploded rows through a groupBy -- ~30M intermediate rows for
-        # 155k candidates at sf0.1 (16 s -> ~3 s measured, r4). At
-        # corpus scale both sides co-partition on doc id; the per-pair
-        # array_intersect is O(|set|) hash probing, and set payloads
-        # are bounded by doc length (shingle sets, not raw text).
+        # set-array verification (shared with minhash_dedup_pairs --
+        # _verify_candidate_pairs): collect each doc's shingle-hash set
+        # ONCE and intersect per candidate pair in a projection.
+        # Zero-overlap candidates are dropped (inter > 0) to match the
+        # all-pairs branch's contract: a shared-shingle join can never
+        # emit a pair with an empty intersection (ADVICE r4).
         sets = sh.groupBy(id_col).agg(F.collect_set("hm").alias("_set"))
-        out = (
-            candidates.join(
-                sets.select(F.col(id_col).alias("a"),
-                            F.col("_set").alias("_sa")), "a")
-            .join(
-                sets.select(F.col(id_col).alias("b"),
-                            F.col("_set").alias("_sb")), "b")
-            .select(
-                "a", "b",
-                F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("inter"),
-                F.size("_sa").cast("long").alias("n_a"),
-                F.size("_sb").cast("long").alias("n_b"),
-            )
+        out = _verify_candidate_pairs(sets, candidates, id_col).where(
+            F.col("inter") > 0
         )
     else:
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
@@ -201,16 +186,51 @@ def jaccard_pairs(
             inter.join(F.broadcast(na), "a")
             .join(F.broadcast(nb), "b")
             .select("a", "b", "inter", "n_a", "n_b")
+            .withColumn("jaccard", _jaccard_col())
         )
-    out = out.withColumn(
-        "jaccard",
-        F.round(
-            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4
-        ),
-    ).select("a", "b", "inter", "n_a", "n_b", "jaccard")
+    out = out.select("a", "b", "inter", "n_a", "n_b", "jaccard")
     if threshold > 0:
         out = out.where(F.col("jaccard") >= threshold)
     return out
+
+
+def _jaccard_col():
+    return F.round(
+        F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4
+    )
+
+
+def _verify_candidate_pairs(
+    sets: DataFrame, candidates: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-Jaccard verification of (a, b) candidate pairs against an
+    (id, _set) shingle-hash-set relation -- the shared kernel of
+    `jaccard_pairs(candidates=...)` and `minhash_dedup_pairs` (ADVICE
+    r4: the two copies had drifted apart once already).
+
+    Shape: join each side's set array onto the candidate list and
+    intersect per pair in a projection. Data moved is |docs| set rows +
+    2x|cands| join rows; the pre-r4 candidate-first shingle join
+    shuffled |cands| x |shingles/doc| exploded rows through a groupBy
+    (~30M intermediate rows for 155k candidates at sf0.1, 16 s -> ~3 s
+    measured). At corpus scale both sides co-partition on doc id; the
+    per-pair array_intersect is O(|set|) hash probing, and set payloads
+    are bounded by doc length (shingle sets, not raw text)."""
+    return (
+        candidates.join(
+            sets.select(F.col(id_col).alias("a"),
+                        F.col("_set").alias("_sa")), "a")
+        .join(
+            sets.select(F.col(id_col).alias("b"),
+                        F.col("_set").alias("_sb")), "b")
+        .select(
+            "a", "b",
+            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("inter"),
+            F.size("_sa").cast("long").alias("n_a"),
+            F.size("_sb").cast("long").alias("n_b"),
+        )
+        .withColumn("jaccard", _jaccard_col())
+    )
 
 
 def shingle_sets(
@@ -269,27 +289,7 @@ def minhash_dedup_pairs(
     sets = shingle_sets(docs, id_col=id_col)
     bands = band_signatures(_signatures_from_sets(sets, id_col), id_col)
     cands = _band_join(bands, id_col)
-    out = (
-        cands.join(
-            sets.select(F.col(id_col).alias("a"),
-                        F.col("_set").alias("_sa")), "a")
-        .join(
-            sets.select(F.col(id_col).alias("b"),
-                        F.col("_set").alias("_sb")), "b")
-        .select(
-            "a", "b",
-            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("inter"),
-            F.size("_sa").cast("long").alias("n_a"),
-            F.size("_sb").cast("long").alias("n_b"),
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4
-            ),
-        )
-    )
+    out = _verify_candidate_pairs(sets, cands, id_col)
     return out.where(F.col("jaccard") >= threshold)
 
 
@@ -560,26 +560,31 @@ def decontaminate_flags(
     n_contaminated, contaminated).
 
     Scale shape: the eval side is SMALL by nature (benchmarks), so its
-    distinct n-gram hashes BROADCAST; the corpus side is one explode ->
-    hash -> distinct -> broadcast-hash-join -- no shuffle touches the
-    corpus beyond its own distinct, and the join is map-side. Counting
-    (not just flagging) keeps the output auditable: reviewers sort by
-    n_contaminated before dropping."""
+    distinct n-gram hashes BROADCAST; the corpus side is ONE explode ->
+    hash -> distinct pass -- a left map-side broadcast join marks each
+    corpus n-gram as hit/miss and a single groupBy counts both totals
+    and hits together (VERDICT r4 "What's wrong" #2: the previous shape
+    aggregated the corpus n-gram relation twice, once for totals and
+    once for hits -- two full passes over the expensive side at 100 TB).
+    Counting (not just flagging) keeps the output auditable: reviewers
+    sort by n_contaminated before dropping."""
     eval_grams = (
         _word_ngram_hashes(eval_docs, ngram, text_col, id_col)
         .select("gh").distinct()
+        .withColumn("_hit", F.lit(1).cast("long"))
     )
     doc_grams = _word_ngram_hashes(docs, ngram, text_col, id_col)
-    hits = (
-        doc_grams.join(F.broadcast(eval_grams), "gh")
+    per_doc = (
+        doc_grams.join(F.broadcast(eval_grams), "gh", "left")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_contaminated"))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_contaminated"),
+        )
     )
-    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     return (
         docs.select(id_col)
-        .join(totals, id_col, "left")
-        .join(hits, id_col, "left")
+        .join(per_doc, id_col, "left")
         .select(
             id_col,
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),

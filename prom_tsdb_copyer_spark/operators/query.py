@@ -366,6 +366,8 @@ def query_range(
     grid when the step is coarser than the chosen tier's grain —
     an exact algebraic re-aggregation (same merge law as the cascade:
     counts/sums add, min/max fold, first/last pick by order key).
+    Raises ValueError when `step_ms` is a multiple of NO tier grain --
+    exact re-aggregation is impossible on a misaligned grid.
 
     Output: (series..., bucket_ms, AGG_COLS) at step resolution — every
     read-side derived aggregate in this module composes on top. At
@@ -374,10 +376,24 @@ def query_range(
     from .rollup import reaggregate
     from .windows import TIER_MS
 
+    tier = pick_tier(step_ms, tiers)
+    grain = TIER_MS[tier] if isinstance(tier, str) else int(tier)
+    if step_ms % grain != 0:
+        # ADVICE r4: pick_tier falls back to the finest tier when no
+        # grain divides the step (e.g. step=90s over a 1m finest tier);
+        # re-bucketing there floor-assigns straddling fine buckets to
+        # the step window containing their START, silently misattributing
+        # samples while this function promises exact algebraic
+        # re-aggregation. Refuse instead of answering wrong.
+        raise ValueError(
+            f"step_ms={step_ms} is not a multiple of any tier grain in "
+            f"{tuple(tiers)} (finest available: {grain} ms); exact "
+            "re-aggregation needs step_ms to be a multiple of a tier "
+            "grain -- snap the step or materialize a finer tier"
+        )
     tier, df = read_tier_auto(spark, out_root, step_ms, from_ms, to_ms, tiers)
     df = select_series(df.drop("part_day"), series_cols,
                        matchers=matchers, metric_name=metric_name)
-    grain = TIER_MS[tier] if isinstance(tier, str) else int(tier)
     if step_ms > grain:
         df = reaggregate(df, series_cols, int(step_ms))
     return df

@@ -236,7 +236,7 @@ def run_and_write_rollups(
         path = os.path.join(out_root, f"tier={tier}")
         write_tier(
             tier_df, path, mode=mode, range_hint=range_hint,
-            pre_clustered=cl is not None,
+            pre_clustered=cl is not None, sort_labels=series,
         )
         if collect_counts:
             rows[tier] = spark.read.parquet(path).count()
@@ -257,7 +257,8 @@ def run_and_write_rollups(
             filtered, series, tier, value_col=job.value_col, ts_col=job.ts_col
         )
         path = os.path.join(out_root, f"chunks={tier}")
-        write_tier(chunks, path, mode=mode, range_hint=range_hint)
+        write_tier(chunks, path, mode=mode, range_hint=range_hint,
+                   sort_labels=series)
         if collect_counts:
             rows[f"chunks={tier}"] = spark.read.parquet(path).count()
     return rows

@@ -79,8 +79,17 @@ ZSTD_LEVEL = "1"
 PARQUET_DICT = "false"
 
 
-def _sort_cols(df: DataFrame) -> list[str]:
+def _sort_cols(df: DataFrame, label_cols: list[str] | None = None) -> list[str]:
     """In-file sort order: (part_day, series labels..., bucket_ms).
+
+    `label_cols` (ADVICE r4): the series/label columns are KNOWN at
+    every production call site (copy_job threads them through), so pass
+    them explicitly -- any other column is payload and never becomes a
+    sort key. The denylist derivation below is only the fallback for
+    direct `write_tier` callers; a future payload column not listed in
+    `non_label` would silently become a sort key ahead of bucket_ms
+    there, degrading the bucket_ms row-group-stats pruning that
+    read_tier_auto relies on.
 
     Day-level time pruning comes from the part_day DIRECTORIES either
     way; putting the series labels before bucket_ms gives parquet
@@ -91,6 +100,9 @@ def _sort_cols(df: DataFrame) -> list[str]:
     cheaper under zstd), byte-equal (442 vs 447 MB), and ~10% faster on
     warm conv-selective scans; the whole-day time-slice read was not
     hurt (directory pruning already covers it)."""
+    if label_cols is not None:
+        labels = [c for c in label_cols if c in df.columns]
+        return ["part_day", *labels, "bucket_ms"]
     non_label = {
         "part_day", "bucket_ms", "_pid",
         # rollup AGG_COLS (operators/rollup.py)
@@ -112,6 +124,7 @@ def write_tier(
     partition_by_day: bool = True,
     range_hint: tuple[int, int] | None = None,
     pre_clustered: bool = False,
+    sort_labels: list[str] | None = None,
 ) -> None:
     """Tier sink: parquet partitioned by UTC day of the bucket (the
     Iceberg `days(ts)` analog; block-duration default 24h in the
@@ -147,7 +160,7 @@ def write_tier(
         "part_day", F.to_date(F.timestamp_millis(F.col("bucket_ms")))
     )
     if pre_clustered:
-        out = out.sortWithinPartitions(*_sort_cols(out))
+        out = out.sortWithinPartitions(*_sort_cols(out, sort_labels))
         (out.write.option("partitionOverwriteMode", "dynamic")
             .option("parquet.compression.codec.zstd.level", ZSTD_LEVEL)
             .option("parquet.enable.dictionary", PARQUET_DICT)
@@ -165,13 +178,13 @@ def write_tier(
                     .cast("long"),
                 )
                 .repartition(n, "_pid")
-                .sortWithinPartitions(*_sort_cols(out))
+                .sortWithinPartitions(*_sort_cols(out, sort_labels))
                 .drop("_pid")
             )
         else:
             out = out.repartitionByRange(
                 n, "part_day", "bucket_ms"
-            ).sortWithinPartitions(*_sort_cols(out))
+            ).sortWithinPartitions(*_sort_cols(out, sort_labels))
         (out.write.option("partitionOverwriteMode", "dynamic")
             .option("parquet.compression.codec.zstd.level", ZSTD_LEVEL)
             .option("parquet.enable.dictionary", PARQUET_DICT)

@@ -74,3 +74,43 @@ def test_pack_shards_plan_is_distributed(spark):
     # offsets side (its input is an aggregate over _pid, not data rows)
     singles = [ln for ln in plan.splitlines() if "SinglePartition" in ln]
     assert len(singles) <= 1, plan
+
+
+def test_pack_shards_id_range_hint_exact_and_sampling_free(spark):
+    """VERDICT r4 #3: with an id_range hint the output must be identical
+    to the sampled path, and the plan must carry NO RangePartitioner
+    (whose sampling re-executes the (id, tokens) projection)."""
+    rows = _rows(seed=23)
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    lo = min(i for i, _ in rows)
+    hi = max(i for i, _ in rows)
+    hinted = pack_shards(df, BUDGET, n_partitions=8, id_range=(lo, hi))
+    got = {
+        r["doc_id"]: (r["shard"], r["shard_offset_tokens"])
+        for r in hinted.collect()
+    }
+    assert got == _py_pack(rows, BUDGET)
+    plan = hinted._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan, plan
+    # the sampled default DOES range-partition (sanity: the assert above
+    # is checking something real)
+    default_plan = pack_shards(df, BUDGET, n_partitions=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in default_plan
+
+
+def test_pack_shards_id_range_hint_out_of_range_ids_clamp(spark):
+    """Ids outside the hinted range clamp to the edge partitions without
+    breaking the global-order invariant (result still exact)."""
+    rows = _rows(800, seed=31)
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    ids = sorted(i for i, _ in rows)
+    # hint covers only the middle 60% of the true id extent
+    lo, hi = ids[len(ids) // 5], ids[4 * len(ids) // 5]
+    got = {
+        r["doc_id"]: (r["shard"], r["shard_offset_tokens"])
+        for r in pack_shards(
+            df, BUDGET, n_partitions=8, id_range=(lo, hi)
+        ).collect()
+    }
+    assert got == _py_pack(rows, BUDGET)

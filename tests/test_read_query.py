@@ -246,3 +246,16 @@ def test_query_range_end_to_end(spark, transcripts, tmp_path):
 
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)],
                                   check_dtype=False)
+
+
+def test_query_range_misaligned_step_raises(spark, tmp_path):
+    """ADVICE r4: a step that no tier grain divides (e.g. 90 s over a
+    1m finest tier) must raise instead of silently re-bucketing on a
+    misaligned grid (floor-assignment would misattribute samples)."""
+    import pytest
+
+    from prom_tsdb_copyer_spark.operators.query import query_range
+
+    with pytest.raises(ValueError, match="not a multiple"):
+        query_range(spark, str(tmp_path / "never_read"), SERIES,
+                    step_ms=90_000)

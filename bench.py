@@ -142,7 +142,14 @@ def run_bench() -> dict:
     queries["gorilla_encode_1h"] = round(secs, 3)
     queries["gorilla_samples_per_sec"] = round(n_rows / secs, 1)
 
-    # --- driver-table headline queries (oracle-aligned shapes)
+    # --- driver-table headline queries (oracle-aligned shapes).
+    # min-of-3 per query (VERDICT r4 "What's wrong" #1): these were the
+    # only single-shot timings left in the harness, so one contended
+    # window on the shared sandbox disk could put a 2x regression on
+    # the driver record for UNCHANGED code (simhash_pairs_blocked did
+    # exactly that two rounds running: 3.43 -> 4.83 -> 6.96 s on the
+    # record while quiet-window runs sat at ~3.8 s). The first of the
+    # three doubles as the warm-up, matching the cascade protocol.
     q = entry.queries()
     for name in (
         "tier_rollup_1m",
@@ -155,8 +162,11 @@ def run_bench() -> dict:
         "ann_cosine_topk",
         "text_quality",
     ):
-        secs, _ = timed(lambda name=name: q[name](spark, SF_DIR).count())
-        queries[name] = round(secs, 3)
+        runs = [
+            timed(lambda name=name: q[name](spark, SF_DIR).count())[0]
+            for _ in range(3)
+        ]
+        queries[name] = round(min(runs), 3)
 
     spark.stop()
     return {

@@ -230,3 +230,58 @@ def gopher_quality_flags(
             F.when(n > 0, alpha_words / n.cast("double")).otherwise(0.0) >= 0.8
         ).alias("ok_alpha_words"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-sample construction: split each document's token stream
+    into fixed-size windows with overlap (the chunking step between
+    cleaning/dedup and `pack_shards` in an LLM data pipeline).
+
+    Output: (id, chunk_idx, chunk_start, chunk_len, chunk_text) -- one
+    row per window. Window starts step by `stride = window - overlap`;
+    the final window is the last start < n_tokens, so every token is
+    covered and only the tail window may be short. Empty documents
+    produce no rows.
+
+    Scale shape: pure codegen'd column algebra -- tokenize once into a
+    projected array column (the HOF lambda-body rule: a lambda that
+    re-evaluates `split()` per element is O(n^2) per doc), build the
+    start list with `sequence`, posexplode, and slice. The explode
+    multiplies rows by ~n_tokens/stride but each output row carries
+    only its own window's text, so the shuffle-free map stage streams;
+    no UDF, no driver involvement."""
+    if overlap >= window_tokens:
+        raise ValueError(
+            f"overlap={overlap} must be smaller than "
+            f"window_tokens={window_tokens}"
+        )
+    stride = window_tokens - overlap
+    base = docs.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("__toks")
+    )
+    n = F.size("__toks")
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: s < n,
+    )
+    exploded = base.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("chunk_start") + 1, window_tokens
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.col("chunk_start"),
+        F.size(chunk).alias("chunk_len"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

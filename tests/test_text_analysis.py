@@ -171,3 +171,68 @@ def test_repetition_scores_long_doc_not_quadratic(spark):
     elapsed = time.monotonic() - t0
     assert row["top_token_ratio"] == round(4 / 100_000, 4)
     assert elapsed < 30, f"long-doc repetition took {elapsed:.1f}s"
+
+
+def test_chunk_documents_vs_python(spark):
+    """Window starts, lengths, indices, and text must equal a sequential
+    python chunker; every token covered; tail window short; empty doc
+    emits nothing."""
+    from prom_tsdb_copyer_spark.operators.text import chunk_documents
+
+    texts = {
+        1: " ".join(f"t{i}" for i in range(25)),   # multiple windows
+        2: " ".join(f"u{i}" for i in range(8)),    # single window
+        3: "one two three four five six seven eight nine ten",  # exact fit
+        4: "   ",                                   # empty after trim
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    W, O = 10, 3
+    got = {
+        (r["doc_id"], r["chunk_idx"]):
+            (r["chunk_start"], r["chunk_len"], r["chunk_text"])
+        for r in chunk_documents(docs, W, O).collect()
+    }
+
+    want = {}
+    for did, text in texts.items():
+        toks = text.split()
+        stride = W - O
+        for idx, start in enumerate(range(0, max(len(toks), 1), stride)):
+            if start >= len(toks):
+                break
+            window = toks[start:start + W]
+            want[(did, idx)] = (start, len(window), " ".join(window))
+    assert got == want
+    # coverage: union of windows == full token stream for doc 1
+    toks1 = texts[1].split()
+    covered = set()
+    for (did, _), (start, ln, _) in got.items():
+        if did == 1:
+            covered.update(range(start, start + ln))
+    assert covered == set(range(len(toks1)))
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from prom_tsdb_copyer_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, window_tokens=8, overlap=8)
+
+
+def test_chunk_documents_no_repeated_tokenize_in_plan(spark):
+    """The token array must be projected ONCE (HOF lambda-body rule):
+    the plan carries a single split() of the text column."""
+    from prom_tsdb_copyer_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(50))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    plan = chunk_documents(docs, 16, 4)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan

@@ -120,9 +120,12 @@ def run_bench() -> dict:
     # ~1.6 output points per input sample across the three tiers)
     from prom_tsdb_copyer_spark.operators.rollup import rollup as _rollup
 
-    agg_secs, _ = timed(
-        lambda: _rollup(transcripts, SERIES, "value", "1m")
-        .write.format("noop").mode("overwrite").save()
+    agg_secs = min(
+        timed(
+            lambda: _rollup(transcripts, SERIES, "value", "1m")
+            .write.format("noop").mode("overwrite").save()
+        )[0]
+        for _ in range(3)
     )
     queries["rollup_1m_agg_nosink"] = round(agg_secs, 3)
     tier_points = sum(
@@ -136,8 +139,9 @@ def run_bench() -> dict:
     from prom_tsdb_copyer_spark.functions.gorilla import encode_tier_chunks
 
     timed(lambda: encode_tier_chunks(transcripts, SERIES, "1h").count())
-    secs, n_chunks = timed(
-        lambda: encode_tier_chunks(transcripts, SERIES, "1h").count()
+    secs = min(
+        timed(lambda: encode_tier_chunks(transcripts, SERIES, "1h").count())[0]
+        for _ in range(3)
     )
     queries["gorilla_encode_1h"] = round(secs, 3)
     queries["gorilla_samples_per_sec"] = round(n_rows / secs, 1)

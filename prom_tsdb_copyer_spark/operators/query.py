@@ -397,3 +397,57 @@ def query_range(
     if step_ms > grain:
         df = reaggregate(df, series_cols, int(step_ms))
     return df
+
+
+def query_instant(
+    spark,
+    out_root: str,
+    series_cols: list[str],
+    t_ms: int,
+    lookback_ms: int = 5 * 60_000,
+    matchers: list[str] | None = None,
+    metric_name: str = "turns",
+    tiers=("1m", "1h", "1d"),
+) -> DataFrame:
+    """The PromQL INSTANT-query analog over the materialized cascade
+    (`query_range` is the range endpoint; this is the other one): for
+    each series, the freshest sample value at-or-before `t_ms`, looking
+    back at most `lookback_ms` (PromQL's 5m default).
+
+    Resolution contract: reads the FINEST tier (instant semantics want
+    the freshest value) and is exact at that tier's grain -- only
+    buckets that END at or before `t_ms` participate, because a bucket
+    straddling `t_ms` would fold in samples from after the instant.
+    The per-bucket `last_val`/`last_ord` columns are selections of raw
+    samples, so the answer equals the raw arg_max over the same window.
+
+    Scale shape: both pruning layers bound the scan to ~lookback_ms of
+    ONE tier (part_day directory pruning + bucket_ms row-group stats),
+    then one groupBy(series) max_by -- the aggregation input is already
+    tiny. No raw scan, no window function."""
+    import os
+
+    grain = lambda t: TIER_MS[t] if isinstance(t, str) else int(t)  # noqa: E731
+    finest = min(tiers, key=grain)
+    g = grain(finest)
+    # last bucket fully closed at t: starts at hi_start, ends <= t_ms;
+    # lookback_ms // g closed buckets participate, so when t_ms sits at
+    # a bucket end the window covers exactly [t+1-lookback, t] raw ms
+    hi_start = ((int(t_ms) + 1) // g - 1) * g
+    n_buckets = max(int(lookback_ms) // g, 1)
+    lo_start = hi_start - (n_buckets - 1) * g
+    df = spark.read.parquet(os.path.join(out_root, f"tier={finest}"))
+    df = df.where(
+        F.col("part_day").between(
+            F.to_date(F.timestamp_millis(F.lit(lo_start))),
+            F.to_date(F.timestamp_millis(F.lit(hi_start + g - 1))),
+        )
+        & F.col("bucket_ms").between(lo_start, hi_start)
+    )
+    df = select_series(df.drop("part_day"), series_cols,
+                       matchers=matchers, metric_name=metric_name)
+    return df.groupBy(*series_cols).agg(
+        F.max_by("last_val", "last_ord").alias("value"),
+        F.max("last_ord").alias("sample_ord"),
+        F.max("bucket_ms").alias("bucket_ms"),
+    )

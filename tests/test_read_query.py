@@ -259,3 +259,44 @@ def test_query_range_misaligned_step_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="not a multiple"):
         query_range(spark, str(tmp_path / "never_read"), SERIES,
                     step_ms=90_000)
+
+
+def test_query_instant_matches_raw_argmax(spark, transcripts, tmp_path):
+    """query_instant over the materialized cascade == arg_max over the
+    raw samples in the same closed-bucket window (last_val/last_ord are
+    selections, so equality is exact), and series with no sample inside
+    the lookback are absent."""
+    from prom_tsdb_copyer_spark.operators.query import query_instant
+    from prom_tsdb_copyer_spark.operators.windows import HOUR_MS, unix_ms
+    from prom_tsdb_copyer_spark.plans.copy_job import CopyJob, run_and_write_rollups
+
+    root = str(tmp_path / "tiers")
+    run_and_write_rollups(spark, transcripts, CopyJob(), root)
+
+    lo, hi = (
+        transcripts.agg(
+            F.min(unix_ms(F.col("ts"))), F.max(unix_ms(F.col("ts")))
+        ).first()
+    )
+    # an instant 1/3 into the extent, minute-aligned minus 1ms so the
+    # closed-bucket window is exactly [t+1-lookback, t] in raw terms
+    t = ((lo + (hi - lo) // 3) // 60_000) * 60_000 - 1
+    lookback = 6 * HOUR_MS
+
+    got = {
+        tuple(r[c] for c in SERIES): (r["value"], r["sample_ord"])
+        for r in query_instant(spark, root, SERIES, t, lookback).collect()
+    }
+
+    raw = transcripts.withColumn("_ms", unix_ms(F.col("ts"))).where(
+        F.col("_ms").between(t + 1 - lookback, t)
+    )
+    want = {
+        tuple(r[c] for c in SERIES): (r["value"], r["sample_ord"])
+        for r in raw.groupBy(*SERIES).agg(
+            F.max_by("value", (F.col("_ms") * 1000)).alias("value"),
+            F.max(F.col("_ms") * 1000).alias("sample_ord"),
+        ).collect()
+    }
+    assert len(got) >= 10  # 32 of ~150 series are active in the window
+    assert got == want

@@ -285,3 +285,99 @@ def chunk_documents(
         F.size(chunk).alias("chunk_len"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Line-level boilerplate removal (the C4/MassiveText cross-document
+    line-dedup step, public methodology): a line whose normalized hash
+    occurs in >= `min_df` DISTINCT documents is boilerplate (nav bars,
+    cookie banners, licence footers); emit per-doc counts and the text
+    with those lines dropped, original line order preserved.
+
+    Output: (id, n_lines, n_boilerplate, clean_text).
+
+    Scale shape: one explode -> hash, one distinct-count aggregation
+    over line hashes (map-side partial), a shuffle join of the lines
+    against the repeated-line set (NOT broadcast by default -- at
+    corpus scale the boilerplate set is unbounded; Spark/AQE still
+    broadcasts it when it measures small), then one groupBy(doc) that
+    rebuilds the text from an order-struct collect_list. No UDFs; the
+    rebuild is array_sort + transform + concat_ws, all codegen'd."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "line_idx", "line"
+        ),
+    ).withColumn("lh", hash60(F.trim(F.col("line"))))
+    repeated = (
+        lines.groupBy("lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("lh", F.lit(1).alias("_boiler"))
+    )
+    flagged = lines.join(repeated, "lh", "left")
+    kept = F.array_sort(
+        F.collect_list(  # collect_list drops nulls -> kept lines only
+            F.when(
+                F.col("_boiler").isNull(),
+                F.struct(F.col("line_idx"), F.col("line")),
+            )
+        )
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        F.coalesce(F.sum("_boiler"), F.lit(0)).alias("n_boilerplate"),
+        F.concat_ws(
+            "\n", F.transform(kept, lambda s: s.getField("line"))
+        ).alias("clean_text"),
+    )
+
+
+#: portable PII patterns (no lookarounds: Java regex and RE2 agree).
+#: Deliberately conservative public-shape patterns -- a production
+#: deployment swaps in its own; the OPERATOR contract is the category
+#: counts + irreversible in-plan redaction.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def scrub_pii(
+    docs: DataFrame,
+    categories: tuple[str, ...] = ("email", "phone", "ipv4"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PII redaction for training corpora: count and replace emails /
+    phone numbers / IPv4 addresses with typed placeholders
+    (`<EMAIL>`...), keeping the counts auditable per document.
+
+    Output: (id, n_<cat>... per category, clean_text). Pure chained
+    `regexp_count` + `regexp_replace` column algebra -- codegen'd, no
+    UDF, trivially scan-parallel at any scale. Replacement order
+    follows `categories`; counts are measured on the ORIGINAL text so
+    a phone-like substring inside an email doesn't double-report."""
+    unknown = [c for c in categories if c not in PII_PATTERNS]
+    if unknown:
+        raise ValueError(f"unknown PII categories: {unknown}")
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[c])).alias(
+            f"n_{c}"
+        )
+        for c in categories
+    ]
+    cleaned = F.col(text_col)
+    for c in categories:
+        cleaned = F.regexp_replace(
+            cleaned, PII_PATTERNS[c], f"<{c.upper()}>"
+        )
+    return docs.select(
+        F.col(id_col), *counts, cleaned.alias("clean_text")
+    )

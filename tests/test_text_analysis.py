@@ -236,3 +236,72 @@ def test_chunk_documents_no_repeated_tokenize_in_plan(spark):
     plan = chunk_documents(docs, 16, 4)._jdf.queryExecution() \
         .optimizedPlan().toString()
     assert plan.count("split(") == 1, plan
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    """Lines repeated across >= min_df docs are dropped; unique lines
+    and within-doc-only repeats survive; order preserved; counts match
+    a python recompute."""
+    from prom_tsdb_copyer_spark.operators.text import line_dedup
+
+    banner = "ACCEPT COOKIES TO CONTINUE"
+    footer = "(c) example press"
+    texts = {
+        1: f"{banner}\nalpha one\nbravo two\n{footer}",
+        2: f"{banner}\ncharlie three\n{footer}",
+        3: f"delta four\ndelta four\necho five",  # within-doc repeat only
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in line_dedup(docs, min_df=2).collect()}
+
+    from collections import Counter
+    df_count = Counter()
+    for t in texts.values():
+        for ln in set(ln.strip() for ln in t.split("\n")):
+            df_count[ln] += 1
+    boiler = {ln for ln, c in df_count.items() if c >= 2}
+
+    for did, t in texts.items():
+        all_lines = t.split("\n")
+        keep = [ln for ln in all_lines if ln.strip() not in boiler]
+        assert got[did]["n_lines"] == len(all_lines)
+        assert got[did]["n_boilerplate"] == sum(
+            1 for ln in all_lines if ln.strip() in boiler
+        )
+        assert got[did]["clean_text"] == "\n".join(keep), did
+    assert got[1]["n_boilerplate"] == 2 and got[3]["n_boilerplate"] == 0
+
+
+def test_scrub_pii_counts_and_redacts(spark):
+    from prom_tsdb_copyer_spark.operators.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567"),
+            (2, "server at 10.0.42.7 answered; backup 192.168.1.254 did not"),
+            (3, "no pii here, just text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+    assert "<EMAIL>" in got[1]["clean_text"]
+    assert "<PHONE>" in got[1]["clean_text"]
+    assert "jane" not in got[1]["clean_text"]
+    assert got[2]["n_ipv4"] == 2
+    assert got[2]["clean_text"].count("<IPV4>") == 2
+    assert "10.0.42.7" not in got[2]["clean_text"]
+    assert got[3]["n_email"] == got[3]["n_phone"] == got[3]["n_ipv4"] == 0
+    assert got[3]["clean_text"] == "no pii here, just text"
+
+
+def test_scrub_pii_rejects_unknown_category(spark):
+    import pytest
+
+    from prom_tsdb_copyer_spark.operators.text import scrub_pii
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unknown"):
+        scrub_pii(docs, categories=("email", "ssn"))

@@ -81,6 +81,78 @@ def streaming_tier_1m(
     )
 
 
+def streaming_tier_cascade(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    series_cols: list[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """CHAINED streaming cascade: 1m -> 1h in ONE streaming query
+    (Spark >= 3.4 multiple stateful operators with watermark
+    propagation; the outer groupBy windows the inner aggregation's
+    `win` struct column directly). The hour aggregation merges the
+    minute partials by the SAME exact law the batch cascade uses
+    (counts/sums add, min/max fold, first/last picked by order key),
+    so closed hour windows equal the batch 1h rollup exactly
+    (fixture-tested against the watermark-closure law).
+
+    Why it matters at scale: the minute state compacts each series'
+    raw stream ~rate x 60 before the hour state sees it, so the second
+    stateful operator holds bounded, already-reduced rows -- the
+    streaming analog of `reaggregate(finer_tier)` never touching raw
+    data. Emission: an hour window closes only after the watermark
+    passes its end, i.e. once every minute window inside it has
+    closed -- the batch cascade's path-independence law, enforced by
+    the engine's watermark propagation instead of job ordering."""
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .load(source_dir)
+    )
+    stream = _with_event_time(stream, ts_col)
+    ts = F.col(ts_col)
+    val = F.col(value_col)
+    stream = stream.withColumn("_ord", F.unix_micros(ts.cast("timestamp")))
+    ord_key = F.col("_ord")
+    m1 = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts, "1 minute").alias("win"), *series_cols)
+        .agg(
+            F.count(val).alias("cnt"),
+            F.sum(val).alias("sum_val"),
+            F.min(val).alias("min_val"),
+            F.max(val).alias("max_val"),
+            F.min_by(val, ord_key).alias("first_val"),
+            F.max_by(val, ord_key).alias("last_val"),
+            F.min(ord_key).alias("first_ord"),
+            F.max(ord_key).alias("last_ord"),
+        )
+    )
+    return (
+        m1.groupBy(F.window(F.col("win"), "1 hour").alias("hwin"), *series_cols)
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_val").alias("sum_val"),
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+            F.min_by("first_val", "first_ord").alias("first_val"),
+            F.max_by("last_val", "last_ord").alias("last_val"),
+            F.min("first_ord").alias("first_ord"),
+            F.max("last_ord").alias("last_ord"),
+        )
+        .select(
+            F.unix_millis(F.col("hwin.start")).alias("bucket_ms"),
+            *series_cols,
+            "cnt", "sum_val", "min_val", "max_val",
+            "first_val", "last_val", "first_ord", "last_ord",
+        )
+    )
+
+
 def streaming_hist_tier_1m(
     spark: SparkSession,
     source_dir: str,

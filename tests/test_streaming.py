@@ -332,3 +332,47 @@ def test_streaming_dedup_exact_first_arrival_only(spark, tmp_path):
                 assert name not in survivors, "two survivors in one group"
                 survivors[name] = r["doc_id"]
     assert set(survivors) == set(groups)
+
+
+def test_streaming_tier_cascade_matches_batch_1h(spark, transcripts, tmp_path):
+    """The chained 1m -> 1h streaming cascade (two stateful operators,
+    one query) must equal the batch 1h rollup on closed windows. An
+    hour window closes when the watermark passes its END, so the
+    emitted set follows the same closure law as the single-stage tier,
+    at hour granularity."""
+    from prom_tsdb_copyer_spark.operators.windows import HOUR_MS, unix_ms
+    from prom_tsdb_copyer_spark.streaming.incremental import (
+        run_available_now,
+        streaming_tier_cascade,
+    )
+
+    src = str(tmp_path / "src")
+    transcripts.write.parquet(src)
+    out = str(tmp_path / "tier1h_stream")
+    ckpt = str(tmp_path / "ckpt_casc")
+    tier = streaming_tier_cascade(spark, src, transcripts.schema, SERIES)
+    q = run_available_now(tier, out, ckpt)
+    assert q.awaitTermination(300)
+
+    got = (
+        spark.read.parquet(out)
+        .drop("part_day")
+        .toPandas()
+        .fillna({"tool": "<null>"})
+        .sort_values(KEY)
+        .reset_index(drop=True)
+    )
+    max_ts_ms = transcripts.agg(F.max(unix_ms(F.col("ts")))).first()[0]
+    watermark_ms = max_ts_ms - 10 * 60_000
+    batch = rollup(transcripts, SERIES, "value", "1h")
+    want = (
+        batch.where(F.col("bucket_ms") + HOUR_MS <= watermark_ms)
+        .toPandas()
+        .fillna({"tool": "<null>"})
+        .sort_values(KEY)
+        .reset_index(drop=True)
+    )
+    assert len(want) > 100
+    n_withheld = batch.count() - len(want)
+    assert 0 <= n_withheld <= 60  # only the open tail hours withheld
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)

@@ -20,7 +20,9 @@ Three shuffles total (range partition, per-pid window, broadcast join
 of an n_partitions-row table); nothing driver-side, no global sort of
 data rows. With an `id_range` hint the range partition (and the
 RangePartitioner's extra sampling pass over the child) is replaced by
-an arithmetic partition id -- two shuffles, one pass. A document whose tokens straddle a budget boundary belongs
+an arithmetic partition id -- two shuffles, one pass.
+
+A document whose tokens straddle a budget boundary belongs
 to the shard where it STARTS (standard contiguous-fill packing), so a
 shard can exceed the budget by at most one document's tokens -- pinned
 in tests.

@@ -271,22 +271,40 @@ def _signatures_from_sets(sets: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def minhash_dedup_pairs(
-    docs: DataFrame, threshold: float = 0.5, id_col: str = "doc_id"
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    persist: bool = True,
 ) -> DataFrame:
     """Full LSH pipeline: shingle -> sign -> band -> candidates ->
     exact-Jaccard verification at `threshold`.
 
-    Plan shape (r4): ONE aggregation total -- `shingle_sets` collects
+    Plan shape (r4): ONE logical aggregation -- `shingle_sets` collects
     each doc's shingle-hash set; signatures and band signatures are
     projections over it; the band bucket join yields candidate id
     pairs; verification rejoins the SAME set relation twice and
-    intersects arrays per pair. The shingle exchange is identical in
-    every consumer, so Spark's ReusedExchange evaluates it once. The
-    r3 shape aggregated the long (doc, hm) relation separately for
-    signatures and for verification and shuffled |cands| x
-    |shingles/doc| exploded rows through the intersection groupBy
-    (17.7 s -> 7.4 s at sf0.1, measured)."""
+    intersects arrays per pair. The r3 shape aggregated the long
+    (doc, hm) relation separately for signatures and for verification
+    and shuffled |cands| x |shingles/doc| exploded rows through the
+    intersection groupBy (17.7 s -> 7.4 s at sf0.1, measured).
+
+    Persisted reuse (r5): the set relation feeds FOUR physical
+    consumers (signatures, both band-join sides via bands, both verify
+    sides), and Spark's ReusedExchange does NOT deduplicate them --
+    the minhash HOF lambdas carry fresh variable exprIds that defeat
+    plan canonicalization (verified: `ReusedExchange: 0`, the
+    shingle explode appeared 6x in the executed plan). `persist=True`
+    (default) caches the set relation MEMORY_AND_DISK so the raw-text
+    explode -> hash -> distinct runs once (measured 8.1-8.9 ->
+    6.1-7.3 s at sf0.1; at corpus scale the saved recompute is the
+    dominant raw scan). The cache lives until the driver-side
+    DataFrame is garbage-collected (ContextCleaner) or the caller
+    unpersists; pass persist=False for strict laziness."""
     sets = shingle_sets(docs, id_col=id_col)
+    if persist:
+        from pyspark import StorageLevel
+
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     bands = band_signatures(_signatures_from_sets(sets, id_col), id_col)
     cands = _band_join(bands, id_col)
     out = _verify_candidate_pairs(sets, cands, id_col)

@@ -334,6 +334,15 @@ def connected_components(
     check -- the oracle-parity mode (the same bounded function is
     expressible as k nested joins in SQL; pytest proves k rounds ==
     converged union-find on the fixture)."""
+    from pyspark import StorageLevel
+
+    # every iteration joins against `edges`, whose lineage is the whole
+    # upstream pairs pipeline (for the gate queries: the full MinHash
+    # LSH + verify) -- without a persist each round re-evaluates it
+    # (r5; same ReusedExchange-defeat class as minhash_dedup_pairs).
+    # `pairs` is persisted too because edges' one materialization reads
+    # it four times (two union arms + the node derivation).
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -343,7 +352,7 @@ def connected_components(
     nodes = edges.select(F.col("src").alias("n")).distinct()
     edges = edges.unionByName(
         nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     labels = nodes.select("n", F.col("n").alias("component"))
 
     def step(lbl: DataFrame) -> DataFrame:
@@ -357,6 +366,8 @@ def connected_components(
     if fixed_iters is not None:
         for _ in range(fixed_iters):
             labels = step(labels)
+        # edges/pairs stay cached until the caller's action runs and the
+        # driver-side references are collected (ContextCleaner)
         return labels
 
     labels = labels.persist()
@@ -373,6 +384,8 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    edges.unpersist()
+    pairs.unpersist()
     return labels
 
 

@@ -207,7 +207,15 @@ def train_centroids(
     ever collected. Cosine assignment == spherical k-means (scale of the
     mean doesn't change the argmax). Empty cells keep their previous
     centroid."""
-    corpus = _as_double(embeddings, vec_col)
+    from pyspark import StorageLevel
+
+    # every Lloyd iteration (and the init sample) re-scans the corpus;
+    # pin it for the loop (r5 iterative-relation rule, PLANS.md) --
+    # n_iter+1 parquet decodes become one. Unpersisted on exit: all
+    # actions happen inside this function.
+    corpus = _as_double(embeddings, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cents = [
         list(r[vec_col])
         for r in corpus.orderBy(id_col).limit(n_cells).collect()
@@ -223,6 +231,7 @@ def train_centroids(
         )
         for r in means:
             cents[int(r["cell"])] = [r[f"m{i}"] for i in range(dim)]
+    corpus.unpersist()
     return cents
 
 

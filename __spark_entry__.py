@@ -195,7 +195,8 @@ def q_gapfill_locf_1h(spark, sf_dir):
     fill itself still runs over the full extent, so carried values
     entering the slice are proven too)."""
     tier = rollup(_events(spark, sf_dir), SERIES, "value", "1h")
-    filled = gapfill_locf(tier, SERIES, "1h", fill_cols=("last_val",))
+    filled = gapfill_locf(tier, SERIES, "1h", fill_cols=("last_val",),
+                          persist_tier=True)  # tier is from-raw here
     return filled.select(
         *SERIES, "bucket_ms", "is_filled", "last_val_filled"
     ).where(F.col("bucket_ms").between(*GATE_SLICE))

@@ -163,6 +163,7 @@ def run_bench() -> dict:
         "asof_join_1h",
         "simhash_pairs_blocked",
         "minhash_lsh_pairs",
+        "neardup_components",
         "ann_cosine_topk",
         "text_quality",
     ):

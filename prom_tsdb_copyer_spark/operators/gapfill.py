@@ -29,13 +29,26 @@ def gapfill_locf(
     series_cols: list[str],
     tier: str | int,
     fill_cols: tuple[str, ...] = ("last_val",),
+    persist_tier: bool = False,
 ) -> DataFrame:
     """Tier table -> dense per-series calendar with LOCF-filled values.
 
     Output: series cols, bucket_ms, is_filled, and ``<c>_filled`` for each
     requested fill column (original columns kept, null on gap rows).
+
+    `persist_tier=True`: the tier relation feeds BOTH the per-series
+    bounds aggregate and the calendar join's right side, and
+    ReusedExchange does not deduplicate them (verified: 2 source scans
+    in the executed plan -- the r5 iterative-relation rule, PLANS.md).
+    Opt in when `tier_df` is computed from raw (the rollup would run
+    twice); leave off when it is a cheap read of a materialized tier
+    table (two pruned columnar scans beat pinning it).
     """
     tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
+    if persist_tier:
+        from pyspark import StorageLevel
+
+        tier_df = tier_df.persist(StorageLevel.MEMORY_AND_DISK)
     bounds = tier_df.groupBy(*series_cols).agg(
         F.min("bucket_ms").alias("_lo"), F.max("bucket_ms").alias("_hi")
     )

@@ -11,7 +11,9 @@ driver's oracle gate covers them:
   minhash LSH  shingle-set aggregation -> signatures as a projection
                over the set -> band bucket-join -> candidate pairs ->
                set-array exact-Jaccard verify (the standard Broder/LSH
-               pipeline; one aggregation total since r4)
+               pipeline; one aggregation total since r4, persisted for
+               its four consumers since r5 -- HOF lambdas defeat
+               ReusedExchange)
   simhash      60-bit fingerprint from signed token-bit sums; near-dup =
                hamming distance <= r via bit_count(xor), exact
                pigeonhole segment join at scale (also reused for the

@@ -1,0 +1,172 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016, public
+methodology) -- the tokenizer-construction step of an LLM data
+pipeline, in the standard Spark shape: train on the WORD HISTOGRAM,
+not the corpus (one corpus aggregation total; every merge iteration
+then touches only distinct words x counts, which is orders of
+magnitude smaller than the corpus and fully distributed).
+
+Representation: a word's symbol sequence is a space-joined,
+space-padded string (`" h e l l o "`). A merge (a, b) is one literal
+`replace(" a b ", " ab ")` -- string replace-all is left-to-right
+non-overlapping, which is exactly BPE's greedy leftmost merge, and the
+shared-space consumption prevents overlapping double-merges. Symbols
+never contain spaces (words are whitespace-split; merged symbols are
+concatenations), so the sentinel is unambiguous. All column algebra --
+no UDFs; the only driver traffic is ONE (pair, count) row per merge.
+
+Iteration persistence follows the r5 rule (PLANS.md): the evolving
+vocab relation is pinned per round and the previous round unpersisted,
+so merge i never re-evaluates merges 0..i-1's lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_histogram(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(word, cnt): whitespace-token frequency table -- the single
+    corpus-wide aggregation BPE training hangs off."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    return (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _to_symbol_string(word: F.Column) -> F.Column:
+    """'hello' -> ' h e l l o ' (space-joined chars, space-padded)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.substring(word, i, 1),
+    )
+    return F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" "))
+
+
+def _syms_col(s: F.Column) -> F.Column:
+    return F.split(F.trim(s), " ")
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """(a, b, total): adjacent-symbol pair counts over the (syms, cnt)
+    vocab relation, weighted by word count (overlapping pairs counted,
+    per standard BPE)."""
+    syms = _syms_col(F.col("syms"))
+    n = F.size(syms)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.struct(
+                F.element_at(syms, i + 1).alias("a"),
+                F.element_at(syms, i + 2).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array())
+    return (
+        vocab.select(F.explode(pairs).alias("p"), "cnt")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("total"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 32,
+    min_pair_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[tuple[str, str]]:
+    """Learn `n_merges` BPE merges from the corpus. Greedy: each round
+    picks the globally most frequent adjacent pair (ties broken by
+    (a, b) lexicographic order for determinism) and rewrites the vocab
+    with one literal replace. Stops early when no pair reaches
+    `min_pair_count`. Returns the ordered merge list."""
+    vocab = (
+        word_histogram(docs, text_col, id_col)
+        .select(_to_symbol_string(F.col("word")).alias("syms"), "cnt")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(int(n_merges)):
+            top = (
+                pair_counts(vocab)
+                .orderBy(F.desc("total"), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["total"] < min_pair_count:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            new = vocab.select(
+                F.replace(
+                    F.col("syms"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+                ).alias("syms"),
+                "cnt",
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            new.count()  # materialize before dropping the parent cache
+            vocab.unpersist()
+            vocab = new
+    finally:
+        vocab.unpersist()
+    return merges
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned merges: (id, n_words, n_subwords, subwords).
+
+    The merge chain is applied to the DISTINCT word table (each word
+    segmented once, however often it appears), then joined back onto
+    the exploded corpus and re-aggregated per document -- the same
+    histogram trick as training. Plan depth grows by one replace per
+    merge; document-scale merge lists (10^2..10^4 on real tokenizers)
+    may instead export the merges to an offline tokenizer -- this
+    operator is the in-pipeline segmenter for bounded merge lists."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    words = docs.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "word")
+    )
+    seg = F.col("syms")
+    distinct_words = words.select("word").distinct().withColumn(
+        "syms", _to_symbol_string(F.col("word"))
+    )
+    for a, b in merges:
+        seg = F.replace(seg, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    segmented = distinct_words.select(
+        "word", _syms_col(seg).alias("subwords")
+    )
+    # collect_list order is partition-nondeterministic: carry the word
+    # position and sort before flattening so the per-doc subword stream
+    # is the document's true word order
+    return (
+        words.join(segmented, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.size("subwords")).alias("n_subwords"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "subwords"))
+                    ),
+                    lambda s: s.getField("subwords"),
+                )
+            ).alias("subwords"),
+        )
+    )

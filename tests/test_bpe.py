@@ -1,0 +1,132 @@
+"""Distributed BPE training/segmentation vs a pure-python reference
+with identical semantics (greedy leftmost merge, max-count pair with
+lexicographic tie-break, overlapping pair counting).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from prom_tsdb_copyer_spark.operators.bpe import (
+    bpe_segment,
+    bpe_train,
+    pair_counts,
+    word_histogram,
+)
+
+TEXTS = {
+    1: "low lower lowest low low newer newest new",
+    2: "wider wide widest new newer lower low",
+    3: "the newest widest lowest low new wide",
+}
+
+
+def _py_hist(texts):
+    c = Counter()
+    for t in texts.values():
+        c.update(t.split())
+    return c
+
+
+def _py_pairs(vocab):
+    pc = Counter()
+    for syms, c in vocab.items():
+        for i in range(len(syms) - 1):
+            pc[(syms[i], syms[i + 1])] += c
+    return pc
+
+
+def _py_merge_word(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _py_train_proper(texts, n_merges, min_count=2):
+    vocab = Counter(
+        {tuple(w): c for w, c in _py_hist(texts).items()}
+    )
+    merges = []
+    for _ in range(n_merges):
+        pc = _py_pairs(vocab)
+        if not pc:
+            break
+        best = max(pc.values())
+        if best < min_count:
+            break
+        a, b = min(p for p, c in pc.items() if c == best)
+        merges.append((a, b))
+        new = Counter()
+        for syms, c in vocab.items():
+            new[_py_merge_word(syms, a, b)] += c
+        vocab = new
+    return merges, vocab
+
+
+def test_word_histogram(spark):
+    docs = spark.createDataFrame(
+        list(TEXTS.items()), "doc_id long, text string"
+    )
+    got = {r["word"]: r["cnt"] for r in word_histogram(docs).collect()}
+    assert got == dict(_py_hist(TEXTS))
+
+
+def test_bpe_train_matches_python_reference(spark):
+    docs = spark.createDataFrame(
+        list(TEXTS.items()), "doc_id long, text string"
+    )
+    want, _ = _py_train_proper(TEXTS, n_merges=8)
+    got = bpe_train(docs, n_merges=8)
+    assert got == want
+    assert len(got) == 8  # this corpus supports at least 8 merges
+
+
+def test_bpe_segment_matches_python_reference(spark):
+    docs = spark.createDataFrame(
+        list(TEXTS.items()), "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=6)
+    got = {r["doc_id"]: r for r in bpe_segment(docs, merges).collect()}
+    for did, text in TEXTS.items():
+        words = text.split()
+        syms_per_word = []
+        for w in words:
+            syms = tuple(w)
+            for a, b in merges:
+                syms = _py_merge_word(syms, a, b)
+            syms_per_word.append(list(syms))
+        flat = [s for ws in syms_per_word for s in ws]
+        assert got[did]["n_words"] == len(words)
+        assert got[did]["n_subwords"] == len(flat)
+        assert list(got[did]["subwords"]) == flat
+        # lossless: concatenating a word's subwords restores the word
+        assert "".join(flat) == "".join(words)
+
+
+def test_bpe_early_stop_on_min_count(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab ab xyz")], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=10, min_pair_count=2)
+    # only (a,b) reaches count 2; x-y / y-z / merged pairs are all 1
+    assert merges == [("a", "b")]
+
+
+def test_pair_counts_overlapping(spark):
+    from pyspark.sql import functions as F
+
+    from prom_tsdb_copyer_spark.operators.bpe import _to_symbol_string
+
+    vocab = spark.createDataFrame(
+        [("lll", 3)], "word string, cnt long"
+    ).select(_to_symbol_string(F.col("word")).alias("syms"), "cnt")
+    got = {
+        (r["a"], r["b"]): r["total"] for r in pair_counts(vocab).collect()
+    }
+    assert got == {("l", "l"): 6}  # two overlapping pairs x count 3

@@ -482,7 +482,10 @@ def _fp_segments(n_seg: int) -> list[tuple[int, int, int]]:
 
 
 def simhash_pairs_blocked(
-    fp: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+    fp: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    persist: bool = True,
 ) -> DataFrame:
     """Pigeonhole segment-block join -- the 100TB path, EXACT (not
     approximate): split the 60-bit fingerprint into max_hamming+1
@@ -492,7 +495,22 @@ def simhash_pairs_blocked(
     (segment_idx, segment_value) -- a shuffle equi-join with an (r+1)x
     row explode, never a cross join -- and the exact bit_count verify
     runs only on candidates. Recall is 1.0 by construction; equality
-    with the all-pairs kernel is enforced by the shared oracle."""
+    with the all-pairs kernel is enforced by the shared oracle.
+
+    `persist=True` pins the caller-supplied fingerprint relation: the
+    self-join consumes it on both sides and ReusedExchange does not
+    deduplicate them (verified 2 source scans in the executed plan --
+    r5 recompute audit, PLANS.md), so without the pin the fingerprint
+    aggregation (token explode + 60 bit-sums over the corpus) runs
+    twice. Fixture-neutral (measured 2.0-2.9 s persisted vs 2.3-2.6 s
+    plain at sf0.1 -- the segment join dominates at 5k docs); adopted
+    for the corpus-scale argument, where twice the full token explode
+    is the dominant cost. Cache lifetime follows the ContextCleaner,
+    as in `minhash_dedup_pairs`."""
+    if persist:
+        from pyspark import StorageLevel
+
+        fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
     n_seg = max_hamming + 1
     segs = F.array(*[
         F.struct(

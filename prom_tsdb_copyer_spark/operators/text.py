@@ -8,7 +8,7 @@ portable explicit sets so Java regex and DuckDB (RE2) agree.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import M, hash60, shingle_col
@@ -381,3 +381,80 @@ def scrub_pii(
     return docs.select(
         F.col(id_col), *counts, cleaned.alias("clean_text")
     )
+
+
+def mixture_weights(
+    docs: DataFrame, by: str = "source", weight_col: str = "n_chars"
+) -> DataFrame:
+    """(key, n_docs, weight, share): the corpus' current mixture by a
+    grouping column, weighted by `weight_col` (tokens/chars) -- the
+    observability half of data mixing. One aggregation."""
+    agg = docs.groupBy(F.col(by).alias("key")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(weight_col).alias("weight"),
+    )
+    total = F.sum("weight").over(Window.partitionBy())
+    return agg.select(
+        "key", "n_docs", "weight",
+        F.round(F.col("weight") / total, 6).alias("share"),
+    )
+
+
+def resample_mixture(
+    docs: DataFrame,
+    target_shares: dict[str, float],
+    by: str = "source",
+    weight_col: str = "n_chars",
+    seed: int = 17,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Down-sample the corpus toward a target mixture (the data-mixing
+    step of an LLM pipeline: rebalance web/books/code/... shares
+    before training). `target_shares` maps group key -> desired share
+    of the OUTPUT's total weight; shares are normalized internally.
+
+    Semantics: pure down-sampling -- the most over-represented group
+    (relative to its target) is kept in full and every other group is
+    Bernoulli-sampled down so the expected output hits the target
+    ratios; no duplication (up-sampling is a repeat-epoch decision for
+    the trainer, not a corpus rewrite). Deterministic per (seed, id):
+    the keep decision is a hash of (seed, id) -- reproducible across
+    runs and cluster layouts, unlike `sample()`'s partition-dependent
+    RNG. Groups absent from `target_shares` are dropped.
+
+    Scale shape: one tiny aggregation (current per-group weights, a
+    |groups|-row table collected to the driver to compute keep
+    fractions) + one codegen'd hash filter over the corpus -- no
+    shuffle of the data rows at all."""
+    tot = sum(target_shares.values())
+    if tot <= 0:
+        raise ValueError("target_shares must sum to > 0")
+    targets = {k: v / tot for k, v in target_shares.items()}
+    cur = {
+        r["key"]: r["weight"]
+        for r in docs.groupBy(F.col(by).alias("key"))
+        .agg(F.sum(weight_col).alias("weight"))
+        .collect()
+        if r["key"] in targets and r["weight"] is not None
+    }
+    if not cur:
+        raise ValueError("no rows match any target_shares key")
+    # scale chosen so the binding group's fraction is exactly 1.0:
+    # output_weight(k) = frac_k * cur_k = targets_k * S, maximal S
+    s_max = min(cur[k] / targets[k] for k in cur if targets[k] > 0)
+    fracs = {
+        k: (targets[k] * s_max / cur[k]) if cur[k] > 0 else 0.0
+        for k in cur
+    }
+    # deterministic per-row keep: uniform in [0,1) from a 64-bit hash
+    # of (seed, id); xxhash64 is a fixed public algorithm, so the
+    # decision is stable across Spark versions and partitionings
+    u = (
+        F.pmod(F.xxhash64(F.lit(int(seed)), F.col(id_col)), F.lit(1 << 40))
+        / F.lit(float(1 << 40))
+    )
+    frac_map = F.create_map(
+        *[x for k, f in fracs.items() for x in (F.lit(k), F.lit(float(f)))]
+    )
+    frac = frac_map[F.col(by)]
+    return docs.where(frac.isNotNull() & (u < frac))

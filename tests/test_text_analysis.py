@@ -305,3 +305,75 @@ def test_scrub_pii_rejects_unknown_category(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="unknown"):
         scrub_pii(docs, categories=("email", "ssn"))
+
+
+def test_resample_mixture_hits_targets_and_is_deterministic(spark):
+    """Down-sampling toward a target mix: the binding group is kept in
+    full, realized shares land near targets, re-runs are identical,
+    and absent keys are dropped."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from prom_tsdb_copyer_spark.operators.text import (
+        mixture_weights,
+        resample_mixture,
+    )
+
+    rnd = random.Random(3)
+    rows = []
+    for i in range(6000):
+        src = ["web", "books", "code", "junk"][
+            0 if i % 10 < 6 else 1 if i % 10 < 8 else 2 if i % 10 < 9 else 3
+        ]
+        rows.append((i, src, rnd.randrange(50, 150)))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+    targets = {"web": 0.5, "books": 0.3, "code": 0.2}
+    out = resample_mixture(docs, targets, seed=17)
+    # deterministic: identical id set on a second run
+    ids1 = {r["doc_id"] for r in out.select("doc_id").collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in resample_mixture(docs, targets, seed=17)
+        .select("doc_id").collect()
+    }
+    assert ids1 == ids2 and len(ids1) > 0
+    # dropped key
+    assert out.where("source = 'junk'").count() == 0
+
+    shares = {
+        r["key"]: r["share"] for r in mixture_weights(out).collect()
+    }
+    for k, want in targets.items():
+        assert abs(shares[k] - want) < 0.05, (k, shares[k], want)
+
+    # binding group kept in full: code is the most under-target-
+    # represented (10% of corpus vs 20% target, ratio 0.5 -- books is
+    # 0.2/0.3 = 0.67), so every code doc survives and books is
+    # down-sampled to ~75%
+    n_code_in = docs.where("source = 'code'").count()
+    assert out.where("source = 'code'").count() == n_code_in
+    n_books_in = docs.where("source = 'books'").count()
+    assert out.where("source = 'books'").count() < n_books_in
+
+    # different seed -> different sample (overwhelmingly likely)
+    ids3 = {
+        r["doc_id"]
+        for r in resample_mixture(docs, targets, seed=99)
+        .select("doc_id").collect()
+    }
+    assert ids3 != ids1
+
+
+def test_mixture_weights_shares_sum_to_one(spark):
+    from prom_tsdb_copyer_spark.operators.text import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 30), (3, "b", 60)],
+        "doc_id long, source string, n_chars long",
+    )
+    rows = {r["key"]: r for r in mixture_weights(docs).collect()}
+    assert rows["a"]["weight"] == 40 and rows["b"]["weight"] == 60
+    assert abs(rows["a"]["share"] - 0.4) < 1e-9
+    assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-6

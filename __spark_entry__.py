@@ -261,22 +261,6 @@ def q_tier_select(spark, sf_dir):
     )
 
 
-def q_avg_over_time_1d(spark, sf_dir):
-    """Read-side: sample-weighted daily mean from tier sums/counts.
-
-    Gate discipline (VERDICT r2 item 1): the gated row carries ONLY
-    exact integers -- (sum_mills, cnt); the mean is a derived
-    convenience column, dropped here because DOUBLE accumulations
-    proved hash-unstable across driver environments two rounds
-    running."""
-    from prom_tsdb_copyer_spark.operators.query import avg_over_time
-
-    tier = rollup(_events(spark, sf_dir), SERIES, "value", "1h")
-    return avg_over_time(tier, SERIES, "1d").select(
-        *SERIES, "window_ms", "sum_mills", "cnt"
-    )
-
-
 def q_asof_join_1h(spark, sf_dir):
     """As-of join (the brief's named custom operator): per-series hourly
     probe grid joined to the latest event at-or-before each probe time.
@@ -562,6 +546,29 @@ def q_dedup_apply(spark, sf_dir):
     return docs.join(F.broadcast(keep), "doc_id", "left_semi").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+CHUNK_W, CHUNK_O = 64, 16  # window/overlap for the gated chunking row
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-token training-window chunking (r5 operator, gated r5):
+    deterministic window starts (stride = W - O), chunk_idx recomputed
+    arithmetically in the oracle (start // stride), chunk text joined
+    identically on both engines."""
+    from prom_tsdb_copyer_spark.operators.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), CHUNK_W, CHUNK_O)
+
+
+def q_line_dedup(spark, sf_dir):
+    """Cross-document line-level boilerplate removal (r5 operator,
+    gated r5): lines whose trimmed hash appears in >= 2 distinct docs
+    are dropped; the oracle rebuilds clean_text with an ORDER BY
+    string_agg over the same hash rule."""
+    from prom_tsdb_copyer_spark.operators.text import line_dedup
+
+    return line_dedup(_docs(spark, sf_dir), min_df=2)
 
 
 def q_decontaminate_flags(spark, sf_dir):
@@ -936,7 +943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_exact": q_streaming_dedup_exact,
         "matcher_eq": _matcher_query(["event_type=click"]),
         "matcher_neq": _matcher_query(["event_type!=error"]),
-        "matcher_re": _matcher_query(["event_type=~(cl|si).*"]),
+        # matcher_re rotated out in r6-prep (r5): the =~ semantics stay
+        # gated via matcher_conj's event_type leg + pytest
+        # test_matchers; the slot gates chunk_documents
         # matcher_nre rotated out in r5 (VERDICT r4 #4): absent-label /
         # negated-regex semantics stay covered by matcher_neq +
         # matcher_conj (whose user_id leg is a !~) + pytest
@@ -949,13 +958,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_downsample_1d": q_chunk_downsample_1d,
         "tier_select": q_tier_select,
         "query_range_step": q_query_range_step,
+        "chunk_documents": q_chunk_documents,
+        "line_dedup": q_line_dedup,
         # increase_1d rotated out in r5: its oracle CTEs are a strict
         # subset of rate_1d's (identical first/last selection algebra;
         # rate adds the elapsed-time quotient), so the tier-derivation
         # path stays gate-proven by rate_1d + pytest
         # test_increase_monotone_counter; the slot gates
         # streaming_dedup_exact
-        "avg_over_time_1d": q_avg_over_time_1d,
+        # avg_over_time_1d rotated out in r5: its gated row carried only
+        # (sum_mills, cnt) at day grain -- a strict column subset of the
+        # relabel_append day rollup's; the avg operator itself stays
+        # pytest-covered (test_read_query). The slot gates line_dedup
         "rate_1d": q_rate_1d,
         "counter_resets_1d": q_counter_resets_1d,
         # minmax_over_time_1d rotated out in r4 (strict subset of the
@@ -1111,6 +1125,52 @@ def _pipeline_oracles() -> dict[str, str]:
         "dedup_apply": """
             SELECT doc_id, lang, source, n_chars FROM documents
             WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        """,
+        # arithmetic window starts: chunk_idx == start // stride, so no
+        # ordinality construct is needed; list_slice bounds are inclusive
+        "chunk_documents": f"""
+            WITH base AS (
+              SELECT doc_id, {tokens_expr} AS toks FROM documents),
+            s AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0, greatest(len(toks) - 1, 0),
+                                            {CHUNK_W - CHUNK_O})) AS start
+              FROM base WHERE len(toks) > 0)
+            SELECT doc_id,
+                   (start // {CHUNK_W - CHUNK_O})::INT AS chunk_idx,
+                   start::INT AS chunk_start,
+                   len(list_slice(toks, start + 1, start + {CHUNK_W}))::INT
+                     AS chunk_len,
+                   array_to_string(
+                     list_slice(toks, start + 1, start + {CHUNK_W}), ' ')
+                     AS chunk_text
+            FROM s WHERE start < len(toks)
+        """,
+        # same trimmed-line hash rule as the Spark side; string_agg
+        # skips the NULLed boilerplate lines and orders by line index
+        "line_dedup": f"""
+            WITH base AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls
+              FROM documents),
+            lines AS (
+              SELECT doc_id, i, ls[i] AS ln,
+                     {hash60_sql('trim(ls[i])')} AS lh
+              FROM base, (SELECT unnest(generate_series(1, 10000)) AS i)
+              WHERE i <= len(ls)),
+            rep AS (
+              SELECT lh FROM (
+                SELECT lh, count(DISTINCT doc_id) AS df
+                FROM lines GROUP BY 1)
+              WHERE df >= 2),
+            per AS (
+              SELECT l.doc_id, count(*) AS n_lines,
+                     count(r.lh) AS n_boilerplate,
+                     coalesce(string_agg(
+                       CASE WHEN r.lh IS NULL THEN l.ln END, chr(10)
+                       ORDER BY l.i), '') AS clean_text
+              FROM lines l LEFT JOIN rep r ON l.lh = r.lh
+              GROUP BY 1)
+            SELECT doc_id, n_lines, n_boilerplate, clean_text FROM per
         """,
         # word-13-gram decontamination recomputed independently: DuckDB
         # builds the gram lists positionally (list_slice), hashes with
@@ -1404,9 +1464,6 @@ def _core_oracles() -> dict[str, str]:
         "tier_rollup_1h": _rollup_sql(HOUR_MS),
         "matcher_eq": _rollup_sql(HOUR_MS, "WHERE event_type = 'click'"),
         "matcher_neq": _rollup_sql(HOUR_MS, "WHERE event_type != 'error'"),
-        "matcher_re": _rollup_sql(
-            HOUR_MS, "WHERE regexp_full_match(event_type, '(?:(cl|si).*)')"
-        ),
         "matcher_conj": _rollup_sql(
             HOUR_MS,
             "WHERE regexp_full_match(event_type, '(?:(cl|vi).*)') "
@@ -1513,15 +1570,6 @@ def _core_oracles() -> dict[str, str]:
             WHERE regexp_full_match(event_type, '(?:(cl|pu).*)')
               AND CAST(user_id AS VARCHAR) != '13'
               AND bucket_ms BETWEEN 1704067200000 AND 1705276799999
-        """,
-        "avg_over_time_1d": f"""
-            -- determinism by TYPE (functions/exact.py): exact BIGINT
-            -- milli-unit sum + exact count; no DOUBLE in the gated row
-            SELECT user_id, event_type,
-                   (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS window_ms,
-                   {_m_sql('sum(value)')} AS sum_mills,
-                   count(value) AS cnt
-            FROM events GROUP BY 1, 2, 3
         """,
         # DuckDB's native ASOF JOIN is the oracle for our union+LOCF
         # composition -- two independent implementations, one semantics

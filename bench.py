@@ -166,6 +166,10 @@ def run_bench() -> dict:
         "neardup_components",
         "ann_cosine_topk",
         "text_quality",
+        "decontaminate_flags",
+        "pack_shards",
+        "line_dedup",
+        "chunk_documents",
     ):
         runs = [
             timed(lambda name=name: q[name](spark, SF_DIR).count())[0]

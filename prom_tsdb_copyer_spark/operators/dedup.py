@@ -643,3 +643,21 @@ def decontaminate_flags(
             (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def decontaminate_apply(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    ngram: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The corpus-shrink step downstream of `decontaminate_flags`
+    (symmetry with dedup_apply / neardup_apply): keep only documents
+    sharing NO word n-gram with the eval set. Same single-pass corpus
+    shape; the drop list (contaminated ids) is small by construction
+    (benchmark overlap is rare), so the final filter is a broadcast
+    anti-join."""
+    flags = decontaminate_flags(docs, eval_docs, ngram, text_col, id_col)
+    drop = flags.where(F.col("contaminated")).select(id_col)
+    return docs.join(F.broadcast(drop), id_col, "left_anti")

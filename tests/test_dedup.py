@@ -360,3 +360,31 @@ def test_minhash_and_jaccard_share_verification_kernel(spark):
         for r in jaccard_pairs(sh, candidates=cands, threshold=0.0).collect()
     }
     assert verified == allp
+
+
+def test_decontaminate_apply_drops_only_contaminated(spark):
+    from prom_tsdb_copyer_spark.operators.dedup import (
+        decontaminate_apply,
+        decontaminate_flags,
+    )
+
+    eval_text = " ".join(f"e{i}" for i in range(20))
+    clean = " ".join(f"c{i}" for i in range(40))
+    contaminated = (
+        " ".join(f"x{i}" for i in range(5))
+        + " " + " ".join(f"e{i}" for i in range(15))
+    )
+    docs = spark.createDataFrame(
+        [(1, contaminated), (2, clean), (3, "tiny doc")],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, eval_text)], "doc_id long, text string"
+    )
+    kept = {r["doc_id"] for r in decontaminate_apply(docs, evals).collect()}
+    flagged = {
+        r["doc_id"]
+        for r in decontaminate_flags(docs, evals)
+        .where("contaminated").collect()
+    }
+    assert kept == {1, 2, 3} - flagged == {2, 3}

@@ -451,3 +451,72 @@ def query_instant(
         F.max("last_ord").alias("sample_ord"),
         F.max("bucket_ms").alias("bucket_ms"),
     )
+
+
+def stddev_over_time(
+    raw: DataFrame,
+    series_cols: list[str],
+    window,
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """PromQL stddev_over_time / stdvar_over_time per (series, window)
+    from RAW samples (population semantics, like PromQL): the tier
+    cascade deliberately does not carry sum-of-squares, so this is a
+    raw-scan aggregate -- one shuffle, codegen'd.
+
+    Output: (series..., window_ms, n_samples, stdvar, stddev)."""
+    from .windows import TIER_MS, bucket_ms_col
+
+    w_ms = TIER_MS[window] if isinstance(window, str) else int(window)
+    val = F.col(value_col)
+    out = (
+        raw.withColumn("window_ms", bucket_ms_col(F.col(ts_col), w_ms))
+        .groupBy(*series_cols, "window_ms")
+        .agg(
+            F.count(val).alias("n_samples"),
+            F.var_pop(val).alias("stdvar"),
+            F.stddev_pop(val).alias("stddev"),
+        )
+    )
+    return out
+
+
+def quantile_over_time(
+    raw: DataFrame,
+    series_cols: list[str],
+    window,
+    q: float = 0.5,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    exact: bool = True,
+) -> DataFrame:
+    """PromQL quantile_over_time per (series, window) from RAW samples.
+
+    `exact=True` uses `percentile` (linear interpolation, PromQL's
+    rule) -- an exact aggregate whose per-group state is the value
+    multiset; right for bounded windows (a series-window holds at most
+    window/scrape-interval samples). `exact=False` switches to
+    `percentile_approx` (bounded-memory sketch) for unbounded or
+    adversarial group sizes -- the documented scale escape hatch.
+
+    Output: (series..., window_ms, n_samples, quantile)."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q={q} outside [0, 1]")
+    from .windows import TIER_MS, bucket_ms_col
+
+    w_ms = TIER_MS[window] if isinstance(window, str) else int(window)
+    val = F.col(value_col)
+    agg = (
+        F.percentile(val, F.lit(float(q)))
+        if exact
+        else F.percentile_approx(val, F.lit(float(q)))
+    )
+    return (
+        raw.withColumn("window_ms", bucket_ms_col(F.col(ts_col), w_ms))
+        .groupBy(*series_cols, "window_ms")
+        .agg(
+            F.count(val).alias("n_samples"),
+            agg.alias("quantile"),
+        )
+    )

@@ -300,3 +300,36 @@ def test_query_instant_matches_raw_argmax(spark, transcripts, tmp_path):
     }
     assert len(got) >= 10  # 32 of ~150 series are active in the window
     assert got == want
+
+
+def test_stddev_and_quantile_over_time_vs_numpy(spark, transcripts, transcripts_pdf):
+    """Raw-scan range aggregates vs numpy (population variance, linear
+    interpolation quantile -- PromQL semantics on both)."""
+    import numpy as np
+
+    from prom_tsdb_copyer_spark.operators.query import (
+        quantile_over_time,
+        stddev_over_time,
+    )
+
+    sd = {
+        tuple(r[c] for c in [*SERIES, "window_ms"]): (r["n_samples"], r["stdvar"])
+        for r in stddev_over_time(transcripts, SERIES, "1d").collect()
+    }
+    qt = {
+        tuple(r[c] for c in [*SERIES, "window_ms"]): r["quantile"]
+        for r in quantile_over_time(transcripts, SERIES, "1d", q=0.9).collect()
+    }
+    p = transcripts_pdf.copy()
+    p["tool"] = p["tool"].where(p["tool"].notna(), None)
+    p["window_ms"] = (p["ts"].astype("int64") // 1_000_000 // DAY_MS) * DAY_MS
+    n_checked = 0
+    for key, g in p.groupby(["conv_id", "role", "tool", "window_ms"], dropna=False):
+        k = (key[0], key[1], key[2] if isinstance(key[2], str) else None, key[3])
+        v = g["value"].to_numpy()
+        n, var = sd[k]
+        assert n == len(v)
+        assert abs(var - np.var(v)) < 1e-9 * max(1.0, np.var(v))
+        assert abs(qt[k] - np.quantile(v, 0.9)) < 1e-9, k
+        n_checked += 1
+    assert n_checked > 200

@@ -126,3 +126,36 @@ def test_minhash_pipeline_single_aggregation(spark):
     join_lines = [ln for ln in p.splitlines() if "Join" in ln]
     assert join_lines, "expected join operators in the plan"
     assert not any("hm#" in ln for ln in join_lines)
+
+
+def test_minhash_persist_pins_set_relation(spark):
+    """r5 recompute-audit guard: the LSH set relation must be served
+    from the cache (InMemoryTableScan) in the executed plan -- HOF
+    lambdas defeat ReusedExchange, so dropping the persist would
+    silently re-evaluate the raw-text aggregation once per consumer."""
+    from prom_tsdb_copyer_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i%7}_{j}" for j in range(20))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = minhash_dedup_pairs(docs, threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every set-relation consumer reads the cache (the cached subtree's
+    # own source scan is printed INSIDE the InMemoryRelation, so a raw
+    # scan count would double-count it -- assert on the cache reads)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_connected_components_fixed_iters_uses_cached_edges(spark):
+    """Same guard for the iterative path: with the persist in place the
+    per-round join reads edges from cache instead of re-evaluating the
+    pairs pipeline each round."""
+    from prom_tsdb_copyer_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    out = connected_components(pairs, fixed_iters=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan

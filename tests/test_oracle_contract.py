@@ -122,3 +122,27 @@ def test_milliunit_sums_away_from_midpoints(con):
         f"float milli-unit sum within {0.5 - worst:.2e} of a rounding "
         "midpoint — milli-unit gating is no longer engine-stable"
     )
+
+
+def test_fixture_line_count_within_oracle_cap(con):
+    """The line_dedup oracle enumerates line indices from a fixed
+    generate_series(1, 10000) table; the Spark side has no cap. Pin the
+    assumption so a regenerated fixture with longer documents fails
+    HERE, not as a silent gate mismatch."""
+    mx = con.execute(
+        "SELECT max(len(string_split(text, chr(10)))) FROM documents"
+    ).fetchone()[0]
+    assert mx is not None and mx <= 10_000, mx
+
+
+def test_fixture_decontaminate_eval_subset_nonempty(con):
+    """The decontaminate_flags gate derives its eval set as
+    doc_id % 97 == 0; the query only proves something if that subset
+    contains at least one doc long enough to produce a 13-gram."""
+    n = con.execute(
+        r"""SELECT count(*) FROM documents
+            WHERE doc_id % 97 = 0
+              AND len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  t -> t != '')) >= 13"""
+    ).fetchone()[0]
+    assert n >= 1, n

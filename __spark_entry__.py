@@ -927,6 +927,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       - minhash_signatures: intermediate of minhash_lsh_pairs, whose
         oracle recomputes signatures from scratch in SQL
       - time_extent: exercised inside query_range_windows (same fold)
+
+    r5 rotations (VERDICT r4 #1/#4/#7 + two more of the same class,
+    inline comments below at each site): agg_q1, simhash_fingerprints,
+    matcher_nre, matcher_re, increase_1d, avg_over_time_1d out;
+    decontaminate_flags, pack_shards, query_range_step,
+    streaming_dedup_exact, chunk_documents, line_dedup in.
     """
     return {
         "tier_rollup_1m": q_tier_rollup_1m,
@@ -943,9 +949,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_exact": q_streaming_dedup_exact,
         "matcher_eq": _matcher_query(["event_type=click"]),
         "matcher_neq": _matcher_query(["event_type!=error"]),
-        # matcher_re rotated out in r6-prep (r5): the =~ semantics stay
-        # gated via matcher_conj's event_type leg + pytest
-        # test_matchers; the slot gates chunk_documents
+        # matcher_re rotated out in r5: the =~ semantics stay gated via
+        # matcher_conj's event_type leg + pytest test_matchers; the
+        # slot gates chunk_documents
         # matcher_nre rotated out in r5 (VERDICT r4 #4): absent-label /
         # negated-regex semantics stay covered by matcher_neq +
         # matcher_conj (whose user_id leg is a !~) + pytest

@@ -523,6 +523,34 @@ def q_query_range_step(spark, sf_dir):
     return _round_sums(out)
 
 
+def q_query_instant(spark, sf_dir):
+    """The INSTANT-query endpoint end-to-end (r5 operator, gated in r6
+    -- VERDICT r5 #2): materialize the 1m/1h/1d cascade, then ask for
+    each series' freshest value at-or-before t = GATE_SLICE end with a
+    1-day lookback. The operator reads the FINEST tier (1m) with both
+    pruning layers and answers from the per-bucket last_val/last_ord
+    selections; the oracle is the raw-scan law the docstring states --
+    arg_max(value, ord) over [t+1-lookback, t] -- so equality proves
+    the tier-derived instant equals the raw answer exactly."""
+    import tempfile
+
+    from prom_tsdb_copyer_spark.operators.query import query_instant
+    from prom_tsdb_copyer_spark.plans.copy_job import (
+        CopyJob,
+        run_and_write_rollups,
+    )
+
+    ev = _events(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="gate_query_instant_")
+    job = CopyJob(series_cols=tuple(SERIES), metric_name="events",
+                  labels=_event_labels())
+    run_and_write_rollups(spark, ev, job, work)
+    return query_instant(
+        spark, work, SERIES, t_ms=GATE_SLICE[1], lookback_ms=DAY_MS,
+        metric_name="events",
+    )
+
+
 # ---------------------------------------------- training-data pipeline
 
 def _docs(spark, sf_dir):
@@ -799,6 +827,19 @@ def q_text_langid(spark, sf_dir):
     return language_id(_docs(spark, sf_dir))
 
 
+def q_scrub_pii(spark, sf_dir):
+    """PII redaction gated at the oracle (r5 operator, gated in r6 --
+    VERDICT r5 #3): per-category counts measured on the ORIGINAL text
+    plus the redacted text after the email -> phone -> ipv4 replace
+    chain. The patterns are lookaround-free by construction so Java
+    regex and DuckDB's RE2 match identically; the oracle re-runs the
+    same chain with regexp_replace(..., 'g'), making the value hash
+    pin every replacement site byte-for-byte."""
+    from prom_tsdb_copyer_spark.operators.text import scrub_pii
+
+    return scrub_pii(_docs(spark, sf_dir))
+
+
 def q_doc_fingerprint(spark, sf_dir):
     from prom_tsdb_copyer_spark.operators.text import fingerprints
 
@@ -904,6 +945,48 @@ def q_streaming_tier_1m(spark, sf_dir):
     )
 
 
+def q_streaming_tier_cascade(spark, sf_dir):
+    """The CHAINED 1m -> 1h streaming cascade gated at the oracle (r5
+    operator, gated in r6 -- VERDICT r5 #6): two stateful operators in
+    ONE query (Spark >= 3.4 watermark propagation), the engine-riskiest
+    streaming path. An hour window closes only once the watermark
+    passes its END -- the same closure law `streaming_tier_1m` gates,
+    at hour grain -- so the oracle is the batch 1h rollup filtered by
+    `bucket_ms + 1h <= max(ts) - 10min` (also pytest-proven on the
+    transcripts fixture, tests/test_streaming.py)."""
+    import tempfile
+
+    from prom_tsdb_copyer_spark.functions.exact import milli_units
+    from prom_tsdb_copyer_spark.streaming.incremental import (
+        run_available_now,
+        streaming_tier_cascade,
+    )
+
+    ev = _events(spark, sf_dir)  # also pins session confs (_prep)
+    work = tempfile.mkdtemp(prefix="gate_stream_casc_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    out = os.path.join(work, "tier")
+    ckpt = os.path.join(work, "ckpt")
+    tier = streaming_tier_cascade(spark, src, ev.schema, SERIES)
+    q = run_available_now(tier, out, ckpt)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "streaming_tier_cascade: stream did not drain in 600s"
+        )
+    return spark.read.parquet(out).drop("part_day").select(
+        *SERIES, "bucket_ms", "cnt",
+        milli_units(F.col("sum_val")).alias("sum_mills"),
+        "min_val", "max_val", "first_val", "last_val",
+        "first_ord", "last_ord",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMOKE", "/root/testdata/sf0.001")
@@ -933,6 +1016,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     matcher_nre, matcher_re, increase_1d, avg_over_time_1d out;
     decontaminate_flags, pack_shards, query_range_step,
     streaming_dedup_exact, chunk_documents, line_dedup in.
+
+    r6 rotations (VERDICT r5 #2/#3/#6, inline comments at each site):
+    doc_fingerprint, text_langid, pivot_type_by_day out;
+    query_instant, scrub_pii, streaming_tier_cascade in.
     """
     return {
         "tier_rollup_1m": q_tier_rollup_1m,
@@ -942,10 +1029,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exercises the codec); the cascade path stays pinned by
         # tier_rollup_1h + pytest path-independence (VERDICT r3 #4)
         "flagship_copy": q_flagship_copy,
-        "doc_fingerprint": q_doc_fingerprint,
+        # doc_fingerprint rotated out in r6 (VERDICT r5 #2): the
+        # winnowing fingerprint is the 1-hash degenerate of the minhash
+        # signature, and minhash_lsh_pairs' oracle recomputes every
+        # signature bit (same min-over-shingle-hash law) from scratch
+        # in SQL -- the transitivity argument that retired
+        # simhash_fingerprints in r5. Stays pytest-covered
+        # (test_text_analysis); the slot gates query_instant
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_dims": q_multimodal_image_dims,
         "streaming_tier_1m": q_streaming_tier_1m,
+        "streaming_tier_cascade": q_streaming_tier_cascade,
         "streaming_dedup_exact": q_streaming_dedup_exact,
         "matcher_eq": _matcher_query(["event_type=click"]),
         "matcher_neq": _matcher_query(["event_type!=error"]),
@@ -964,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_downsample_1d": q_chunk_downsample_1d,
         "tier_select": q_tier_select,
         "query_range_step": q_query_range_step,
+        "query_instant": q_query_instant,
         "chunk_documents": q_chunk_documents,
         "line_dedup": q_line_dedup,
         # increase_1d rotated out in r5: its oracle CTEs are a strict
@@ -986,7 +1081,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "range_join_sessions": q_range_join_sessions,
         "topk_series": q_topk_series,
-        "pivot_type_by_day": q_pivot_type_by_day,
+        # pivot_type_by_day rotated out in r6 (VERDICT r5 #6): its
+        # per-(type, day) counts are a column RESHAPE of cells
+        # cube_counts already gates exactly (the (event_type,
+        # bucket_ms) grouping set), and distinct_series_per_day keeps
+        # the day-grain slot with the one aggregation pivot lacked
+        # (two-stage count-distinct). Pivot stays pytest-covered
+        # (test_read_query); the slot gates streaming_tier_cascade
         "distinct_series_per_day": q_distinct_series_per_day,
         "cube_counts": q_cube_counts,
         "approx_stats": q_approx_stats,
@@ -1001,7 +1102,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
+        # text_langid rotated out in r6 (VERDICT r5 #3): the
+        # stopword-vote argmax consumes the SAME token algebra
+        # text_tokens/text_quality keep gated (tokenizer + per-list
+        # stopword hits are text_quality's stopword_ratio inputs); the
+        # decision CASE is pinned by pytest (test_text_analysis
+        # langid cases incl. CJK + tie priority). The slot gates
+        # scrub_pii
+        "scrub_pii": q_scrub_pii,
         # simhash_fingerprints rotated out in r5 (VERDICT r4 #1): an
         # intermediate whose every bit is verified transitively by
         # simhash_pairs_blocked's ALL-PAIRS oracle (the same argument
@@ -1109,7 +1217,11 @@ def _cc_oracle(b: dict[str, str], final_select: str) -> str:
 def _pipeline_oracles() -> dict[str, str]:
     from prom_tsdb_copyer_spark.functions.hashing import M, hash60_sql, shingles_sql
     from prom_tsdb_copyer_spark.operators.dedup import SIMHASH_BITS
-    from prom_tsdb_copyer_spark.operators.text import PUNCT, STOPWORDS
+    from prom_tsdb_copyer_spark.operators.text import (
+        PII_PATTERNS,
+        PUNCT,
+        STOPWORDS,
+    )
 
     b = _dedup_sql_blocks()
     tokens_expr = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')"
@@ -1153,7 +1265,9 @@ def _pipeline_oracles() -> dict[str, str]:
             FROM s WHERE start < len(toks)
         """,
         # same trimmed-line hash rule as the Spark side; string_agg
-        # skips the NULLed boilerplate lines and orders by line index
+        # skips the NULLed boilerplate lines and orders by line index.
+        # Blank-after-trim lines are exempt from the repeated set on
+        # both engines (paragraph breaks are structure -- ADVICE r5 #2)
         "line_dedup": f"""
             WITH base AS (
               SELECT doc_id, string_split(text, chr(10)) AS ls
@@ -1166,7 +1280,7 @@ def _pipeline_oracles() -> dict[str, str]:
             rep AS (
               SELECT lh FROM (
                 SELECT lh, count(DISTINCT doc_id) AS df
-                FROM lines GROUP BY 1)
+                FROM lines WHERE trim(ln) != '' GROUP BY 1)
               WHERE df >= 2),
             per AS (
               SELECT l.doc_id, count(*) AS n_lines,
@@ -1388,25 +1502,24 @@ def _pipeline_oracles() -> dict[str, str]:
                      ELSE 0.0 END) >= 0.8 AS ok_alpha_words
             FROM s
         """,
-        "text_langid": f"""
-            WITH s AS (
-              SELECT doc_id, {stop_hits('en')} AS en, {stop_hits('de')} AS de,
-                     {stop_hits('fr')} AS fr,
-                     (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')))
-                       / greatest(length(text), 1) AS cjk
-              FROM documents)
+        # counts on the ORIGINAL text, replacement chain in `categories`
+        # order -- both mirrored exactly; the patterns are shared
+        # literals (operators/text.py PII_PATTERNS, lookaround-free so
+        # Java regex and RE2 agree). n_* cast to INT to match Spark's
+        # regexp_count (IntegerType)
+        "scrub_pii": f"""
             SELECT doc_id,
-                   CASE WHEN cjk > 0.3 THEN 'zh'
-                        WHEN greatest(en, de, fr) = 0 THEN 'unk'
-                        WHEN en = greatest(en, de, fr) THEN 'en'
-                        WHEN de = greatest(en, de, fr) THEN 'de'
-                        ELSE 'fr' END AS lang_pred
-            FROM s
-        """,
-        "doc_fingerprint": f"""
-            SELECT doc_id, min(({hash60_sql('s')}) % {M}) AS fingerprint
-            FROM (SELECT doc_id, unnest({shingles_sql('text')}) AS s FROM documents)
-            GROUP BY 1
+                   len(regexp_extract_all(text, '{PII_PATTERNS['email']}'))::INT
+                     AS n_email,
+                   len(regexp_extract_all(text, '{PII_PATTERNS['phone']}'))::INT
+                     AS n_phone,
+                   len(regexp_extract_all(text, '{PII_PATTERNS['ipv4']}'))::INT
+                     AS n_ipv4,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '{PII_PATTERNS['email']}', '<EMAIL>', 'g'),
+                     '{PII_PATTERNS['phone']}', '<PHONE>', 'g'),
+                     '{PII_PATTERNS['ipv4']}', '<IPV4>', 'g') AS clean_text
+            FROM documents
         """,
         # BYTE-based oracle (the kernel reads utf-8 bytes, not code
         # points: ascii() would diverge on any non-ASCII-leading doc)
@@ -1505,6 +1618,25 @@ def _core_oracles() -> dict[str, str]:
             SELECT t.* FROM t, ext
             WHERE bucket_ms + {MINUTE_MS} <= mx - {10 * MINUTE_MS}
         """,
+        # the chained 1m -> 1h streaming cascade: same closure law at
+        # hour grain (an hour closes only once the watermark passes its
+        # end, i.e. every minute window inside it has closed)
+        "streaming_tier_cascade": f"""
+            WITH t AS (
+              SELECT user_id, event_type,
+                     (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS bucket_ms,
+                     count(value) AS cnt,
+                     {_m_sql('sum(value)')} AS sum_mills,
+                     min(value) AS min_val, max(value) AS max_val,
+                     arg_min(value, epoch_us(ts)) AS first_val,
+                     arg_max(value, epoch_us(ts)) AS last_val,
+                     min(epoch_us(ts)) AS first_ord,
+                     max(epoch_us(ts)) AS last_ord
+              FROM events GROUP BY 1, 2, 3),
+            ext AS (SELECT max(epoch_ms(ts)) AS mx FROM events)
+            SELECT t.* FROM t, ext
+            WHERE bucket_ms + {HOUR_MS} <= mx - {10 * MINUTE_MS}
+        """,
         "query_range_windows": f"""
             WITH ext AS (SELECT min(epoch_ms(ts)) f, max(epoch_ms(ts)) t FROM events),
             cal AS (SELECT f, t, unnest(generate_series((f // {DAY_MS}) * {DAY_MS}, t, {DAY_MS})) AS g FROM ext)
@@ -1567,6 +1699,25 @@ def _core_oracles() -> dict[str, str]:
             "WHERE regexp_full_match(event_type, '(?:(cl|pu).*)') "
             f"AND epoch_ms(ts) BETWEEN {GATE_SLICE[0]} AND {GATE_SLICE[1]}",
         ),
+        # the instant law from query_instant's docstring, recomputed on
+        # RAW samples: with t = GATE_SLICE end and a 1-day lookback at
+        # the 1m finest grain, exactly lookback//1m closed buckets
+        # participate, covering raw ts in [t+1-lookback, t]; the tier
+        # answer (max_by over per-bucket last_val/last_ord selections)
+        # must equal arg_max(value, ord) over that raw window
+        "query_instant": f"""
+            WITH w AS (
+              SELECT user_id, event_type, value, epoch_us(ts) AS ord,
+                     (epoch_ms(ts) // {MINUTE_MS}) * {MINUTE_MS} AS b
+              FROM events
+              WHERE epoch_ms(ts)
+                BETWEEN {GATE_SLICE[1] + 1 - DAY_MS} AND {GATE_SLICE[1]})
+            SELECT user_id, event_type,
+                   arg_max(value, ord) AS value,
+                   max(ord) AS sample_ord,
+                   max(b) AS bucket_ms
+            FROM w GROUP BY 1, 2
+        """,
         "tier_select": f"""
             SELECT * FROM (
               SELECT user_id, event_type,
@@ -1665,15 +1816,6 @@ def _core_oracles() -> dict[str, str]:
                    TRUE AS approx_users_ok,
                    TRUE AS approx_median_ok,
                    TRUE AS approx_p99_ok
-            FROM events GROUP BY 1
-        """,
-        "pivot_type_by_day": f"""
-            SELECT (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS bucket_ms,
-                   count(*) FILTER (event_type = 'click') AS click,
-                   count(*) FILTER (event_type = 'view') AS view,
-                   count(*) FILTER (event_type = 'purchase') AS purchase,
-                   count(*) FILTER (event_type = 'signup') AS signup,
-                   count(*) FILTER (event_type = 'error') AS error
             FROM events GROUP BY 1
         """,
         "distinct_series_per_day": f"""

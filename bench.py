@@ -155,6 +155,12 @@ def run_bench() -> dict:
     # record while quiet-window runs sat at ~3.8 s). The first of the
     # three doubles as the warm-up, matching the cascade protocol.
     q = entry.queries()
+    # queries whose operators persist intermediates: later passes reuse
+    # the cache (Spark's CacheManager matches identical logical plans),
+    # so the min-of-3 is a WARM number. Report the first (cache-
+    # building) pass as <name>_cold alongside, so round-over-round
+    # comparisons can be like-with-like (VERDICT r5 #4).
+    persisted = {"minhash_lsh_pairs", "neardup_components"}
     for name in (
         "tier_rollup_1m",
         "flagship_copy",
@@ -176,6 +182,8 @@ def run_bench() -> dict:
             for _ in range(3)
         ]
         queries[name] = round(min(runs), 3)
+        if name in persisted:
+            queries[f"{name}_cold"] = round(runs[0], 3)
 
     spark.stop()
     return {

@@ -5,14 +5,25 @@ not the corpus (one corpus aggregation total; every merge iteration
 then touches only distinct words x counts, which is orders of
 magnitude smaller than the corpus and fully distributed).
 
-Representation: a word's symbol sequence is a space-joined,
-space-padded string (`" h e l l o "`). A merge (a, b) is one literal
-`replace(" a b ", " ab ")` -- string replace-all is left-to-right
-non-overlapping, which is exactly BPE's greedy leftmost merge, and the
-shared-space consumption prevents overlapping double-merges. Symbols
-never contain spaces (words are whitespace-split; merged symbols are
-concatenations), so the sentinel is unambiguous. All column algebra --
-no UDFs; the only driver traffic is ONE (pair, count) row per merge.
+Representation: a word is its symbol ARRAY (`['h','e','l','l','o']`).
+A merge (a, b) is a left-to-right fold over that array (`F.aggregate`):
+append each symbol, except when the accumulator's last element is `a`
+and the incoming symbol is `b` -- then fuse them into `a+b`. Because
+the fused symbol `a+b` can never equal `a` (b is non-empty), a
+just-produced merge is never consumed by the next element, which is
+exactly BPE's greedy leftmost NON-OVERLAPPING scan -- including
+back-to-back occurrences ('abab' -> [ab, ab], 'aaaa' -> [aa, aa]).
+The previous space-sentinel `replace(' a b ', ' ab ')` formulation
+missed the second of two consecutive occurrences (the match consumes
+the trailing space that is the next occurrence's leading sentinel:
+' a b a b ' -> ' ab a b ') -- ADVICE r5 item 1, pinned by
+tests/test_bpe.py's consecutive-occurrence corpus.
+
+The fold copies the accumulator per element (O(len^2) per WORD), but
+words are bounded-short while the corpus is not -- the scale axis is
+#distinct words, over which everything stays distributed. All column
+algebra -- no UDFs; the only driver traffic is ONE (pair, count) row
+per merge.
 
 Iteration persistence follows the r5 rule (PLANS.md): the evolving
 vocab relation is pinned per round and the previous round unpersisted,
@@ -41,24 +52,40 @@ def word_histogram(
     )
 
 
-def _to_symbol_string(word: F.Column) -> F.Column:
-    """'hello' -> ' h e l l o ' (space-joined chars, space-padded)."""
-    chars = F.transform(
+def _to_symbols(word: F.Column) -> F.Column:
+    """'hello' -> ['h','e','l','l','o'] (per-character symbol array)."""
+    return F.transform(
         F.sequence(F.lit(1), F.length(word)),
         lambda i: F.substring(word, i, 1),
     )
-    return F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" "))
 
 
-def _syms_col(s: F.Column) -> F.Column:
-    return F.split(F.trim(s), " ")
+def _apply_merge(syms: F.Column, a: str, b: str) -> F.Column:
+    """One BPE merge as a greedy-leftmost fold over the symbol array:
+    exact non-overlapping semantics (see module docstring). Only `acc`
+    and `x` appear in the lambda body, so the HOF re-evaluation rule
+    (PLANS.md) costs nothing here."""
+    la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+
+    def step(acc: F.Column, x: F.Column) -> F.Column:
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == la)
+            & (x == lb)
+        )
+        return F.when(
+            hit,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lab)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
 
 
 def pair_counts(vocab: DataFrame) -> DataFrame:
     """(a, b, total): adjacent-symbol pair counts over the (syms, cnt)
     vocab relation, weighted by word count (overlapping pairs counted,
     per standard BPE)."""
-    syms = _syms_col(F.col("syms"))
+    syms = F.col("syms")
     n = F.size(syms)
     pairs = F.when(
         n >= 2,
@@ -87,11 +114,11 @@ def bpe_train(
     """Learn `n_merges` BPE merges from the corpus. Greedy: each round
     picks the globally most frequent adjacent pair (ties broken by
     (a, b) lexicographic order for determinism) and rewrites the vocab
-    with one literal replace. Stops early when no pair reaches
+    with one greedy-leftmost fold. Stops early when no pair reaches
     `min_pair_count`. Returns the ordered merge list."""
     vocab = (
         word_histogram(docs, text_col, id_col)
-        .select(_to_symbol_string(F.col("word")).alias("syms"), "cnt")
+        .select(_to_symbols(F.col("word")).alias("syms"), "cnt")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     merges: list[tuple[str, str]] = []
@@ -108,10 +135,7 @@ def bpe_train(
             a, b = top[0]["a"], top[0]["b"]
             merges.append((a, b))
             new = vocab.select(
-                F.replace(
-                    F.col("syms"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
-                ).alias("syms"),
-                "cnt",
+                _apply_merge(F.col("syms"), a, b).alias("syms"), "cnt"
             ).persist(StorageLevel.MEMORY_AND_DISK)
             new.count()  # materialize before dropping the parent cache
             vocab.unpersist()
@@ -132,7 +156,7 @@ def bpe_segment(
     The merge chain is applied to the DISTINCT word table (each word
     segmented once, however often it appears), then joined back onto
     the exploded corpus and re-aggregated per document -- the same
-    histogram trick as training. Plan depth grows by one replace per
+    histogram trick as training. Plan depth grows by one fold per
     merge; document-scale merge lists (10^2..10^4 on real tokenizers)
     may instead export the merges to an offline tokenizer -- this
     operator is the in-pipeline segmenter for bounded merge lists."""
@@ -142,15 +166,13 @@ def bpe_segment(
     words = docs.select(
         F.col(id_col), F.posexplode(toks).alias("pos", "word")
     )
-    seg = F.col("syms")
     distinct_words = words.select("word").distinct().withColumn(
-        "syms", _to_symbol_string(F.col("word"))
+        "syms", _to_symbols(F.col("word"))
     )
+    seg = F.col("syms")
     for a, b in merges:
-        seg = F.replace(seg, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
-    segmented = distinct_words.select(
-        "word", _syms_col(seg).alias("subwords")
-    )
+        seg = _apply_merge(seg, a, b)
+    segmented = distinct_words.select("word", seg.alias("subwords"))
     # collect_list order is partition-nondeterministic: carry the word
     # position and sort before flattening so the per-doc subword stream
     # is the document's true word order

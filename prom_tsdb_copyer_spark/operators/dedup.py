@@ -277,6 +277,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     persist: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Full LSH pipeline: shingle -> sign -> band -> candidates ->
     exact-Jaccard verification at `threshold`.
@@ -299,14 +300,20 @@ def minhash_dedup_pairs(
     (default) caches the set relation MEMORY_AND_DISK so the raw-text
     explode -> hash -> distinct runs once (measured 8.1-8.9 ->
     6.1-7.3 s at sf0.1; at corpus scale the saved recompute is the
-    dominant raw scan). The cache lives until the driver-side
-    DataFrame is garbage-collected (ContextCleaner) or the caller
-    unpersists; pass persist=False for strict laziness."""
+    dominant raw scan). The returned DataFrame READS the cached
+    relation lazily, so it cannot be unpersisted here; lifetime is the
+    ContextCleaner's (driver-side GC) unless the caller passes
+    `cache_registry` -- a list the persisted relation is appended to,
+    for deterministic `df.unpersist()` once the caller has consumed
+    the result (ADVICE r5 #4). Pass persist=False for strict
+    laziness."""
     sets = shingle_sets(docs, id_col=id_col)
     if persist:
         from pyspark import StorageLevel
 
         sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_registry is not None:
+            cache_registry.append(sets)
     bands = band_signatures(_signatures_from_sets(sets, id_col), id_col)
     cands = _band_join(bands, id_col)
     out = _verify_candidate_pairs(sets, cands, id_col)
@@ -322,6 +329,7 @@ def connected_components(
     b_col: str = "b",
     max_iter: int = 25,
     fixed_iters: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """(node, component) over the near-dup pair graph via min-label
     propagation -- the step that turns pairwise near-dup evidence into
@@ -335,7 +343,15 @@ def connected_components(
     `fixed_iters` instead runs exactly k rounds with no convergence
     check -- the oracle-parity mode (the same bounded function is
     expressible as k nested joins in SQL; pytest proves k rounds ==
-    converged union-find on the fixture)."""
+    converged union-find on the fixture).
+
+    Cache lifecycle (ADVICE r5 #4): every relation persisted here is
+    swept in a finally block on ALL exits -- convergence, fixed_iters,
+    and exceptions -- except the RETURNED labels relation, which is
+    materialized through the caches before they drop (it is one row
+    per node, the smallest relation in the computation). The caller
+    may `.unpersist()` it when done, or pass `cache_registry` (a list
+    the pinned result is appended to) for explicit management."""
     from pyspark import StorageLevel
 
     # every iteration joins against `edges`, whose lineage is the whole
@@ -365,30 +381,43 @@ def connected_components(
             .select(F.col("src").alias("n"), "component")
         )
 
-    if fixed_iters is not None:
-        for _ in range(fixed_iters):
-            labels = step(labels)
-        # edges/pairs stay cached until the caller's action runs and the
-        # driver-side references are collected (ContextCleaner)
+    pinned: list[DataFrame] = [pairs, edges]
+    result: DataFrame | None = None
+    try:
+        if fixed_iters is not None:
+            for _ in range(fixed_iters):
+                labels = step(labels)
+            labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+            pinned.append(labels)
+            labels.count()  # materialize before edges/pairs drop
+            result = labels
+            return labels
+        labels = labels.persist()
+        pinned.append(labels)
+        labels.count()
+        for _ in range(max_iter):
+            new = step(labels).persist()
+            pinned.append(new)
+            changed = (
+                new.alias("x")
+                .join(labels.alias("y"), "n")
+                .where(F.col("x.component") != F.col("y.component"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new
+            if changed == 0:
+                break
+        result = labels
         return labels
-
-    labels = labels.persist()
-    labels.count()
-    for _ in range(max_iter):
-        new = step(labels).persist()
-        changed = (
-            new.alias("x")
-            .join(labels.alias("y"), "n")
-            .where(F.col("x.component") != F.col("y.component"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new
-        if changed == 0:
-            break
-    edges.unpersist()
-    pairs.unpersist()
-    return labels
+    finally:
+        # unpersist on an already-unpersisted DF is a no-op, so the
+        # sweep is safe on every path (including exceptions mid-loop)
+        for df in pinned:
+            if df is not result:
+                df.unpersist()
+        if cache_registry is not None and result is not None:
+            cache_registry.append(result)
 
 
 def neardup_apply(
@@ -486,6 +515,7 @@ def simhash_pairs_blocked(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     persist: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Pigeonhole segment-block join -- the 100TB path, EXACT (not
     approximate): split the 60-bit fingerprint into max_hamming+1
@@ -506,11 +536,14 @@ def simhash_pairs_blocked(
     plain at sf0.1 -- the segment join dominates at 5k docs); adopted
     for the corpus-scale argument, where twice the full token explode
     is the dominant cost. Cache lifetime follows the ContextCleaner,
-    as in `minhash_dedup_pairs`."""
+    as in `minhash_dedup_pairs`; pass `cache_registry` for a
+    deterministic caller-side unpersist handle (ADVICE r5 #4)."""
     if persist:
         from pyspark import StorageLevel
 
         fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_registry is not None:
+            cache_registry.append(fp)
     n_seg = max_hamming + 1
     segs = F.array(*[
         F.struct(

@@ -314,8 +314,14 @@ def line_dedup(
             "line_idx", "line"
         ),
     ).withColumn("lh", hash60(F.trim(F.col("line"))))
+    # blank/whitespace-only lines are document STRUCTURE (paragraph
+    # breaks), not boilerplate: C4/MassiveText line dedup exempts them.
+    # Without this filter every blank line shares one hash, so >=min_df
+    # docs containing any blank line would strip paragraph breaks
+    # corpus-wide (ADVICE r5 item 2).
     repeated = (
-        lines.groupBy("lh")
+        lines.where(F.trim(F.col("line")) != "")
+        .groupBy("lh")
         .agg(F.count_distinct(F.col(id_col)).alias("df"))
         .where(F.col("df") >= min_df)
         .select("lh", F.lit(1).alias("_boiler"))

@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import json
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -33,6 +34,46 @@ STAGES = (
     "scrub", "line-dedup", "dedup", "neardup", "decontaminate",
     "quality",
 )
+
+#: chunk_idx headroom in the arithmetic (doc_id, chunk_idx) ->
+#: sample_id encoding; at 1e6 chunks/doc a document would be ~0.5 GB
+#: of 512-token windows, far past any real corpus document
+MAX_CHUNKS_PER_DOC = 1_000_000
+
+
+def encode_sample_id(
+    doc_id: F.Column,
+    chunk_idx: F.Column,
+    max_chunks: int = MAX_CHUNKS_PER_DOC,
+) -> F.Column:
+    """Injective (doc_id, chunk_idx) -> sample_id with an IN-PLAN
+    overflow guard: `doc_id * max_chunks + chunk_idx` silently collides
+    once chunk_idx >= max_chunks and overflows 64 bits for doc_id above
+    ~9.2e12, which would corrupt pack_shards' id-ordered prefix sum
+    with no error (ADVICE r5 #3) -- so out-of-range inputs raise at
+    execution time instead. Pure codegen'd column algebra; the error
+    branch never evaluates on valid rows."""
+    max_doc = ((1 << 63) - 1) // max_chunks
+    ok = (
+        (chunk_idx >= 0)
+        & (chunk_idx < max_chunks)
+        & (doc_id >= 0)
+        & (doc_id <= max_doc)
+    )
+    return F.when(
+        ok, (doc_id * max_chunks + chunk_idx).cast("long")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "sample_id encoding overflow: (doc_id=%s, chunk_idx=%s)"
+                " needs 0 <= chunk_idx < %s and 0 <= doc_id <= %s",
+                doc_id,
+                chunk_idx,
+                F.lit(str(max_chunks)),
+                F.lit(str(max_doc)),
+            )
+        )
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -58,7 +99,22 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def run_pipeline(spark, args) -> dict:
+def build_pipeline(spark, args) -> tuple[DataFrame, dict, list]:
+    """Assemble the staged pipeline WITHOUT writing. Returns
+    (out_df, report, caches).
+
+    Stage pinning (VERDICT r5 #1 -- the bpe_train discipline applied to
+    the driver): each stage's output is persisted and materialized by
+    its report count, then the PARENT stage's cache is dropped, so the
+    per-stage counts and the final write each read ONE InMemoryRelation
+    instead of re-executing every upstream stage's lineage per
+    downstream action (the r5 driver was O(stages^2) passes over the
+    source). Side relations the dedup operators pin internally
+    (shingle sets, component labels) are collected via their
+    `cache_registry` handles and dropped as soon as the consuming
+    stage's count has materialized. `caches` holds whatever is still
+    pinned (exactly the final relation); `run_pipeline` unpersists it
+    after the write."""
     from .operators.dedup import (
         decontaminate_apply,
         minhash_dedup_pairs,
@@ -82,47 +138,60 @@ def run_pipeline(spark, args) -> dict:
 
     docs = spark.read.parquet(args.source)
     report: dict = {"docs_in": docs.count(), "stages": {}}
+    caches: list[DataFrame] = []
 
-    def count_after(name: str, df: DataFrame) -> DataFrame:
-        n = df.count()
-        report["stages"][name] = n
+    def pin(df: DataFrame, name: str | None = None) -> DataFrame:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        n = df.count()  # materializes THROUGH the parent's cache
+        if name is not None:
+            report["stages"][name] = n
+        while caches:  # now safe to drop the parent stage
+            caches.pop().unpersist()
+        caches.append(df)
         return df
 
     if "scrub" in stages:
-        docs = count_after(
-            "scrub",
+        docs = pin(
             scrub_pii(docs).select(
                 "doc_id", F.col("clean_text").alias("text")
             ),
+            "scrub",
         )
     if "line-dedup" in stages:
-        docs = count_after(
-            "line-dedup",
+        docs = pin(
             line_dedup(docs, min_df=args.line_min_df).select(
                 "doc_id", F.col("clean_text").alias("text")
             ),
+            "line-dedup",
         )
     if "dedup" in stages:
         from .operators.dedup import dedup_exact
 
         keep = dedup_exact(docs).select(F.col("keep_id").alias("doc_id"))
-        docs = count_after(
-            "dedup", docs.join(F.broadcast(keep), "doc_id", "left_semi")
+        docs = pin(
+            docs.join(F.broadcast(keep), "doc_id", "left_semi"), "dedup"
         )
     if "neardup" in stages:
-        pairs = minhash_dedup_pairs(docs, threshold=args.neardup_threshold)
-        docs = count_after("neardup", neardup_apply(docs, pairs))
+        side: list[DataFrame] = []
+        pairs = minhash_dedup_pairs(
+            docs, threshold=args.neardup_threshold, cache_registry=side
+        )
+        docs = pin(
+            neardup_apply(docs, pairs, cache_registry=side), "neardup"
+        )
+        for c in side:  # shingle sets + component labels, consumed now
+            c.unpersist()
     if "decontaminate" in stages:
         evals = spark.read.parquet(args.eval_set)
-        docs = count_after("decontaminate", decontaminate_apply(docs, evals))
+        docs = pin(decontaminate_apply(docs, evals), "decontaminate")
     if "quality" in stages:
         flags = gopher_quality_flags(docs)
         ok = flags.where(
             F.col("ok_word_count") & F.col("ok_mean_word_len")
             & F.col("ok_symbol_ratio") & F.col("ok_alpha_words")
         ).select("doc_id")
-        docs = count_after(
-            "quality", docs.join(F.broadcast(ok), "doc_id", "left_semi")
+        docs = pin(
+            docs.join(F.broadcast(ok), "doc_id", "left_semi"), "quality"
         )
 
     out = docs
@@ -132,30 +201,38 @@ def run_pipeline(spark, args) -> dict:
         if args.pack is not None:
             from .operators.packing import pack_shards
 
-            samples = chunks.select(
-                (F.col("doc_id") * 1_000_000 + F.col("chunk_idx"))
-                .alias("sample_id"),
-                F.col("chunk_len").alias("n_tokens"),
-            )
+            # chunks feeds BOTH pack_shards and the rejoin: pin it so
+            # the chunking (and everything above it) runs once
+            chunks = pin(chunks.withColumn(
+                "sample_id",
+                encode_sample_id(F.col("doc_id"), F.col("chunk_idx")),
+            ))
             shards = pack_shards(
-                samples, args.pack, tokens_col="n_tokens",
-                id_col="sample_id",
+                chunks.select("sample_id",
+                              F.col("chunk_len").alias("n_tokens")),
+                args.pack, tokens_col="n_tokens", id_col="sample_id",
             )
-            out = (
-                chunks.withColumn(
+            out = pin(
+                chunks.join(
+                    shards.select("sample_id", "shard",
+                                  "shard_offset_tokens"),
                     "sample_id",
-                    F.col("doc_id") * 1_000_000 + F.col("chunk_idx"),
-                )
-                .join(shards.select("sample_id", "shard",
-                                    "shard_offset_tokens"), "sample_id")
+                ),
+                "pack",
             )
-            report["stages"]["pack"] = out.count()
         else:
-            out = chunks
-            report["stages"]["chunk"] = out.count()
+            out = pin(chunks, "chunk")
+    return out, report, caches
 
-    out.write.mode("overwrite").parquet(args.target)
-    report["rows_out"] = spark.read.parquet(args.target).count()
+
+def run_pipeline(spark, args) -> dict:
+    out, report, caches = build_pipeline(spark, args)
+    try:
+        out.write.mode("overwrite").parquet(args.target)
+        report["rows_out"] = spark.read.parquet(args.target).count()
+    finally:
+        for c in caches:
+            c.unpersist()
     return report
 
 

@@ -121,12 +121,75 @@ def test_bpe_early_stop_on_min_count(spark):
 def test_pair_counts_overlapping(spark):
     from pyspark.sql import functions as F
 
-    from prom_tsdb_copyer_spark.operators.bpe import _to_symbol_string
+    from prom_tsdb_copyer_spark.operators.bpe import _to_symbols
 
     vocab = spark.createDataFrame(
         [("lll", 3)], "word string, cnt long"
-    ).select(_to_symbol_string(F.col("word")).alias("syms"), "cnt")
+    ).select(_to_symbols(F.col("word")).alias("syms"), "cnt")
     got = {
         (r["a"], r["b"]): r["total"] for r in pair_counts(vocab).collect()
     }
     assert got == {("l", "l"): 6}  # two overlapping pairs x count 3
+
+
+# words with BACK-TO-BACK pair occurrences: the r5 space-sentinel
+# replace missed the second of two consecutive matches (ADVICE r5 #1:
+# ' a b a b '.replace(' a b ', ' ab ') == ' ab a b '); these corpora
+# pin the greedy-leftmost fold on exactly that class -- repeated pairs
+# ('abab'), self-pairs ('aaaa', odd-run 'aaa'), and interleaved
+# repeats ('banana')
+CONSEC_TEXTS = {
+    1: "abab abab aaaa banana",
+    2: "abab aaaa aaa banana banana",
+    3: "ababab aaaa banana abab",
+}
+
+
+def test_bpe_train_consecutive_occurrences(spark):
+    docs = spark.createDataFrame(
+        list(CONSEC_TEXTS.items()), "doc_id long, text string"
+    )
+    want, want_vocab = _py_train_proper(CONSEC_TEXTS, n_merges=6)
+    got = bpe_train(docs, n_merges=6)
+    assert got == want
+    # the learned-vocab drift the bug caused shows up in segmentation:
+    # every doc's subword stream must equal the python greedy fold's
+    seg = {r["doc_id"]: r for r in bpe_segment(docs, got).collect()}
+    for did, text in CONSEC_TEXTS.items():
+        flat = []
+        for w in text.split():
+            syms = tuple(w)
+            for a, b in got:
+                syms = _py_merge_word(syms, a, b)
+            flat.extend(syms)
+        assert list(seg[did]["subwords"]) == flat
+
+
+def test_bpe_merge_fold_exact_cases(spark):
+    """The single-merge kernel on the adversarial words directly."""
+    from pyspark.sql import functions as F
+
+    from prom_tsdb_copyer_spark.operators.bpe import (
+        _apply_merge,
+        _to_symbols,
+    )
+
+    cases = [
+        ("abab", ("a", "b"), ["ab", "ab"]),
+        ("ababab", ("a", "b"), ["ab", "ab", "ab"]),
+        ("aaaa", ("a", "a"), ["aa", "aa"]),
+        ("aaa", ("a", "a"), ["aa", "a"]),
+        ("banana", ("a", "n"), ["b", "an", "an", "a"]),
+        ("bab", ("a", "b"), ["b", "ab"]),
+    ]
+    df = spark.createDataFrame(
+        [(w, a, b) for w, (a, b), _ in cases], "word string, a string, b string"
+    )
+    for w, (a, b), want in cases:
+        got = (
+            df.where(F.col("word") == w)
+            .select(_apply_merge(_to_symbols(F.col("word")), a, b).alias("s"))
+            .collect()[0]["s"]
+        )
+        assert list(got) == want, (w, a, b)
+        assert want == list(_py_merge_word(tuple(w), a, b))

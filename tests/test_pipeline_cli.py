@@ -81,6 +81,68 @@ def test_pipeline_chunk_and_pack_output(spark, tmp_path):
     assert max(r["t"] for r in per) <= 600 + 24
 
 
+def test_pipeline_stages_pinned_in_final_plan(spark, tmp_path):
+    """VERDICT r5 #1: the final relation's executed plan must read the
+    LAST stage's InMemoryRelation -- not re-execute the scrub/dedup
+    lineage once per downstream action. Built via build_pipeline so the
+    pre-write plan is inspectable; also checks the cache ledger holds
+    exactly the final relation and that run_pipeline's report matches
+    the unpinned r5 driver's semantics (counts are unchanged)."""
+    from prom_tsdb_copyer_spark.pipeline import build_parser, build_pipeline
+
+    src, ev = _corpus(spark, tmp_path)
+    args = build_parser().parse_args([
+        "--source", src, "--target", str(tmp_path / "o"),
+        "--stages", "scrub,line-dedup,dedup,neardup,decontaminate,quality",
+        "--eval-set", ev,
+    ])
+    out, report, caches = build_pipeline(spark, args)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the EXECUTION side of the plan is everything above the
+    # InMemoryRelation node (the relation's description embeds the full
+    # cached lineage for display -- that part is stored, not re-run):
+    # it must be a cache scan with NONE of the upstream stage operators
+    # (regexp scrub, line explode, LSH joins) below it
+    executed_side = plan.split("InMemoryRelation", 1)[0]
+    assert "InMemoryTableScan" in executed_side
+    assert "regexp_replace" not in executed_side
+    assert "Generate" not in executed_side  # no explode re-run
+    assert len(caches) == 1 and caches[0] is out
+    assert report["stages"]["quality"] == out.count()
+    for c in caches:
+        c.unpersist()
+
+
+def test_sample_id_overflow_raises(spark):
+    """ADVICE r5 #3: the (doc_id, chunk_idx) arithmetic encoding must
+    fail loudly instead of silently colliding past the headroom."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from prom_tsdb_copyer_spark.pipeline import encode_sample_id
+
+    df = spark.createDataFrame(
+        [(1, 3), (2, 5)], "doc_id long, chunk_idx long"
+    )
+    ok = df.select(
+        encode_sample_id(F.col("doc_id"), F.col("chunk_idx"),
+                         max_chunks=10).alias("sid")
+    )
+    assert sorted(r["sid"] for r in ok.collect()) == [13, 25]
+    bad = df.select(
+        encode_sample_id(F.col("doc_id"), F.col("chunk_idx"),
+                         max_chunks=4).alias("sid")
+    )
+    with pytest.raises(Exception, match="sample_id encoding overflow"):
+        bad.collect()
+    # doc_id past the 64-bit headroom raises too
+    big = spark.createDataFrame(
+        [(int(9.3e12), 0)], "doc_id long, chunk_idx long"
+    ).select(encode_sample_id(F.col("doc_id"), F.col("chunk_idx")).alias("s"))
+    with pytest.raises(Exception, match="sample_id encoding overflow"):
+        big.collect()
+
+
 def test_pipeline_rejects_bad_args(spark, tmp_path):
     import pytest
 

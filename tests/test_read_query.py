@@ -333,3 +333,28 @@ def test_stddev_and_quantile_over_time_vs_numpy(spark, transcripts, transcripts_
         assert abs(qt[k] - np.quantile(v, 0.9)) < 1e-9, k
         n_checked += 1
     assert n_checked > 200
+
+
+def test_pivot_counts_match_groupby(spark, transcripts):
+    """Pivot surface kept pytest-covered after its gate slot rotated to
+    streaming_tier_cascade in r6: the pivoted per-(role, day) cells must
+    equal the plain groupBy counts (the reshape-only law -- the same
+    cells cube_counts gates at the oracle)."""
+    from pyspark.sql import functions as F
+
+    from prom_tsdb_copyer_spark.operators.windows import DAY_MS, bucket_ms_col
+
+    roles = [r["role"] for r in transcripts.select("role").distinct().collect()]
+    day = transcripts.withColumn("bucket_ms", bucket_ms_col(F.col("ts"), DAY_MS))
+    piv = day.groupBy("bucket_ms").pivot("role", roles).count().na.fill(0, roles)
+    flat = {
+        (r["bucket_ms"], r["role"]): r["cnt"]
+        for r in day.groupBy("bucket_ms", "role")
+        .agg(F.count("*").alias("cnt")).collect()
+    }
+    n_cells = 0
+    for r in piv.collect():
+        for role in roles:
+            assert r[role] == flat.get((r["bucket_ms"], role), 0)
+            n_cells += 1
+    assert n_cells >= len(roles) * 2

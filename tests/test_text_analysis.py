@@ -274,6 +274,31 @@ def test_line_dedup_removes_cross_doc_boilerplate(spark):
     assert got[1]["n_boilerplate"] == 2 and got[3]["n_boilerplate"] == 0
 
 
+def test_line_dedup_keeps_blank_lines(spark):
+    """Blank/whitespace-only lines are paragraph STRUCTURE, exempt from
+    the repeated-line rule (C4/MassiveText exempt empty lines; ADVICE
+    r5 #2): even though every doc contains blank lines (df >= min_df),
+    none are stripped -- paragraph breaks survive corpus-wide."""
+    from prom_tsdb_copyer_spark.operators.text import line_dedup
+
+    banner = "SUBSCRIBE NOW"
+    texts = {
+        1: f"{banner}\npara one\n\npara two\n   \npara three",
+        2: f"{banner}\nother text\n\nmore text",
+        3: "solo doc\n\nwith a break",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in line_dedup(docs, min_df=2).collect()}
+    # only the banner is boilerplate; every blank line is kept verbatim
+    for did, t in texts.items():
+        keep = [ln for ln in t.split("\n") if ln.strip() != banner]
+        assert got[did]["clean_text"] == "\n".join(keep), did
+        assert got[did]["n_boilerplate"] == (1 if banner in t else 0)
+    assert "\n\n" in got[1]["clean_text"]  # paragraph break survived
+
+
 def test_scrub_pii_counts_and_redacts(spark):
     from prom_tsdb_copyer_spark.operators.text import scrub_pii
 

@@ -694,3 +694,130 @@ def decontaminate_apply(
     flags = decontaminate_flags(docs, eval_docs, ngram, text_col, id_col)
     drop = flags.where(F.col("contaminated")).select(id_col)
     return docs.join(F.broadcast(drop), id_col, "left_anti")
+
+
+# ------------------------------------------- duplicated-span detection
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    k: int = 8,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-span detection at word-k-gram
+    granularity (the exact-substring-dedup family of Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" -- public
+    methodology; suffix-array spans approximated by fixed-length token
+    windows, the streaming-friendly variant).
+
+    A span is k consecutive whitespace tokens; it is *duplicated* when
+    its 60-bit hash occurs in >= `min_df` distinct documents. Output one
+    row per input document:
+
+      (id, n_tokens, n_spans, n_dup_spans, n_covered_tokens,
+       dup_coverage)
+
+    where n_covered_tokens = |union over duplicated spans at position i
+    of [i, i+k-1]| (1-based token offsets) and dup_coverage is the
+    covered fraction of the document's tokens, rounded to 4 (the
+    cross-engine hashing contract). Documents shorter than k tokens
+    have zero spans and zero coverage.
+
+    Scale shape (100 TB): positions are projected from the token array
+    (HOF lambda-body rule -- text.py repetition_scores), so the span
+    relation is one explode of ~n_tokens rows. Span document-frequency
+    is a two-phase count over DISTINCT (hash, doc): partial aggregation
+    combines map-side, and the duplicated-hash set is joined back BY
+    HASH (shuffle join, NOT broadcast -- like line_dedup's boilerplate
+    set, the duplicated-span set is unbounded in the corpus size).
+    Coverage explodes k offsets per *duplicated* span only, then counts
+    distinct (doc, offset) -- the blowup is k x (duplicated subset),
+    not k x corpus. Boilerplate spans shared by a large fraction of the
+    corpus make the df aggregation itself skew-safe (count partials),
+    and the join back is on the uniformly-distributed hash.
+    """
+    base = docs.select(
+        F.col(id_col),
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                 lambda t: t != "").alias("__toks"),
+    )
+    toks = F.col("__toks")
+    sz = F.size(toks)
+    grams = F.when(
+        sz >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(sz - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array())
+    spans = (
+        base.select(F.col(id_col), sz.alias("__n_tokens"),
+                    F.posexplode_outer(grams).alias("__p0", "__g"))
+        .select(
+            id_col,
+            "__n_tokens",
+            (F.col("__p0") + 1).alias("pos"),
+            F.when(F.col("__g").isNotNull(), hash60(F.col("__g"))).alias("sh"),
+        )
+    )
+    # document frequency per span hash; >= min_df distinct docs => dup
+    dup_hashes = (
+        spans.where(F.col("sh").isNotNull())
+        .select("sh", id_col).distinct()
+        .groupBy("sh").count()
+        .where(F.col("count") >= min_df)
+        .select("sh", F.lit(True).alias("__dup"))
+    )
+    marked = spans.join(dup_hashes, "sh", "left")
+    per_doc = marked.groupBy(id_col).agg(
+        F.first("__n_tokens").alias("n_tokens"),
+        F.count("sh").alias("n_spans"),
+        F.count(F.when(F.col("__dup"), 1)).alias("n_dup_spans"),
+    )
+    covered = (
+        marked.where(F.col("__dup"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("off"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_covered_tokens"))
+    )
+    return (
+        per_doc.join(covered, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_spans",
+            "n_dup_spans",
+            F.coalesce("n_covered_tokens", F.lit(0)).alias("n_covered_tokens"),
+            F.round(
+                F.coalesce("n_covered_tokens", F.lit(0))
+                / F.greatest("n_tokens", F.lit(1)),
+                4,
+            ).alias("dup_coverage"),
+        )
+    )
+
+
+def dup_span_apply(
+    docs: DataFrame,
+    k: int = 8,
+    min_df: int = 2,
+    max_coverage: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-shrink step downstream of `dup_span_stats` (symmetry with
+    dedup_apply / decontaminate_apply): drop documents whose duplicated-
+    span coverage exceeds `max_coverage`. The drop set is a hash
+    anti-join on the id (NOT broadcast -- heavy-duplication documents
+    can be an unbounded fraction of a crawled corpus)."""
+    stats = dup_span_stats(docs, k, min_df, text_col, id_col)
+    drop = stats.where(F.col("dup_coverage") > max_coverage).select(id_col)
+    return docs.join(drop, id_col, "left_anti")

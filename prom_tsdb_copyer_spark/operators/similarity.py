@@ -440,3 +440,125 @@ def brute_force_topk_quantized(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_q", "rank")
     )
+
+
+def semdedup_flags(
+    embeddings: DataFrame,
+    cents: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication" -- public methodology):
+    cluster embeddings around `cents` (k-means centroids, e.g. from
+    `train_centroids`), compute pairwise cosine WITHIN each cluster
+    only, group mutually-similar documents (cosine >= threshold,
+    transitively), and keep exactly one representative per group -- the
+    member with the LOWEST cosine to its cluster centroid (the paper's
+    keep rule: retain the group's least-prototypical example), ties
+    broken by lowest id. Output one row per input vector:
+
+      (id, cell, component, cent_sim, keep)
+
+    Scale shape (100 TB): the quadratic pairing is confined to each
+    k-means cell (cells are bounded by construction when n_cells scales
+    with the corpus -- the paper uses ~50k clusters for LAION); the
+    cell assignment itself is the zero-shuffle literal-argmax fold
+    (`assign_cells`), so the only shuffles are the within-cell pair
+    join (keyed by cell) and the connected-components rounds over the
+    similar-pair edge list, which is small (near-dups are rare by
+    volume). Pairs travel as bare id pairs; vectors are re-joined once
+    per side (the bucketed_neardup discipline).
+
+    Cache lifecycle (the connected_components contract): the returned
+    flags relation is persisted and materialized through the internal
+    caches before they drop; the caller may `.unpersist()` it when
+    done, or pass `cache_registry` for explicit management.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from .dedup import connected_components
+
+    e = _as_double(embeddings, vec_col)
+    sims = _cell_sims(F.col(vec_col), cents, round_to=6)
+    best = F.array_max(sims)
+    assigned = e.select(
+        id_col,
+        vec_col,
+        (-best["neg_cell"]).cast("long").alias("cell"),
+        best["csim"].alias("cent_sim"),
+    )
+    # consumed by the pair join (both sides) and the final output row
+    # set -- pin it (PLANS.md iterative/multi-consumer rule)
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    pinned: list[DataFrame] = [assigned]
+    result: DataFrame | None = None
+    try:
+        a = assigned.select(F.col(id_col).alias("a"), F.col("cell"),
+                            F.col(vec_col).alias("va"))
+        b = assigned.select(F.col(id_col).alias("b"), F.col("cell"),
+                            F.col(vec_col).alias("vb"))
+        pairs = (
+            a.join(b, "cell")
+            .where(F.col("a") < F.col("b"))
+            .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+            .where(F.col("cosine") >= threshold)
+            .select("a", "b")
+        )
+        comp = connected_components(pairs)  # (n, component), persisted
+        pinned.append(comp)
+        flagged = (
+            assigned.select(id_col, "cell", "cent_sim")
+            .join(comp.withColumnRenamed("n", id_col), id_col, "left")
+            .withColumn(
+                "component",
+                F.coalesce(F.col("component"), F.col(id_col)),
+            )
+        )
+        # keep rule: argmin (cent_sim, id) per component
+        keep_w = Window.partitionBy("component").orderBy(
+            F.asc("cent_sim"), F.asc(id_col)
+        )
+        out = (
+            flagged.withColumn("__rn", F.row_number().over(keep_w))
+            .select(
+                id_col,
+                "cell",
+                "component",
+                F.round("cent_sim", 6).alias("cent_sim"),
+                (F.col("__rn") == 1).alias("keep"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        pinned.append(out)
+        out.count()  # materialize before the internal caches drop
+        result = out
+        return out
+    finally:
+        for df in pinned:
+            if df is not result:
+                df.unpersist()
+        if cache_registry is not None and result is not None:
+            cache_registry.append(result)
+
+
+def semdedup_apply(
+    embeddings: DataFrame,
+    cents: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Corpus-shrink step for SemDeDup: keep only group representatives.
+    Hash semi-join on id (the keep set is a large fraction of the
+    corpus -- never broadcast). The persisted flags relation backs the
+    returned plan; `cache_registry` is the unpersist handle."""
+    flags = semdedup_flags(
+        embeddings, cents, threshold, id_col, vec_col, cache_registry
+    )
+    keep = flags.where(F.col("keep")).select(id_col)
+    return embeddings.join(keep, id_col, "left_semi")

@@ -388,3 +388,126 @@ def test_decontaminate_apply_drops_only_contaminated(spark):
         .where("contaminated").collect()
     }
     assert kept == {1, 2, 3} - flagged == {2, 3}
+
+
+# ------------------------------------------- duplicated-span detection
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    """Controlled span-duplication corpus: a 12-token boilerplate phrase
+    planted in docs 0-4 (at different offsets), unique filler elsewhere,
+    one doc shorter than the span width, one empty doc."""
+    phrase = " ".join(f"p{j}" for j in range(12))
+    rows = []
+    for i in range(5):
+        filler_a = " ".join(f"u{i}_{j}" for j in range(i + 3))
+        filler_b = " ".join(f"v{i}_{j}" for j in range(20 - i))
+        rows.append((i, f"{filler_a} {phrase} {filler_b}"))
+    for i in range(5, 10):
+        rows.append((i, " ".join(f"q{i}_{j}" for j in range(30))))
+    rows.append((10, "short doc here"))
+    rows.append((11, "   "))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dup_span_stats_vs_duckdb(spark, span_docs):
+    """Exactness vs an independent DuckDB implementation of the same
+    rule (word-8-gram hashes, df >= 2 across distinct docs, interval-
+    union coverage)."""
+    import duckdb
+
+    from prom_tsdb_copyer_spark.operators.dedup import dup_span_stats
+
+    k = 8
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_spans"], r["n_dup_spans"],
+                      r["n_covered_tokens"], r["dup_coverage"])
+        for r in dup_span_stats(span_docs, k=k).collect()
+    }
+    pdf = span_docs.toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    sql = rf"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           t -> t <> '') AS tk
+        FROM docs),
+      g AS (
+        SELECT doc_id, len(tk) AS n_tokens,
+               CASE WHEN len(tk) >= {k} THEN
+                 list_transform(generate_series(1, len(tk) - {k - 1}),
+                   i -> array_to_string(list_slice(tk, i, i + {k - 1}), ' '))
+               ELSE [] END AS grams
+        FROM toks),
+      p AS (
+        SELECT doc_id, n_tokens, grams,
+               unnest(generate_series(1, len(grams))) AS pos
+        FROM g),
+      s AS (
+        SELECT doc_id, n_tokens, pos,
+               ('0x' || substr(md5(grams[pos]), 1, 15))::BIGINT AS sh
+        FROM p),
+      dup AS (
+        SELECT sh FROM (SELECT DISTINCT sh, doc_id FROM s)
+        GROUP BY sh HAVING count(*) >= 2),
+      marked AS (
+        SELECT s.doc_id, s.n_tokens, s.pos, s.sh,
+               dup.sh IS NOT NULL AS isdup
+        FROM s LEFT JOIN dup USING (sh)),
+      per AS (
+        SELECT doc_id, any_value(n_tokens) AS n_tokens,
+               count(*) AS n_spans,
+               count(CASE WHEN isdup THEN 1 END) AS n_dup
+        FROM marked GROUP BY 1),
+      cov AS (
+        SELECT doc_id, count(*) AS n_cov FROM (
+          SELECT DISTINCT doc_id, off FROM (
+            SELECT doc_id,
+                   pos + unnest(generate_series(0, {k - 1})) AS off
+            FROM marked WHERE isdup))
+        GROUP BY 1)
+      SELECT g.doc_id, g.n_tokens,
+             coalesce(per.n_spans, 0) AS n_spans,
+             coalesce(per.n_dup, 0) AS n_dup_spans,
+             coalesce(cov.n_cov, 0) AS n_covered_tokens,
+             round(coalesce(cov.n_cov, 0)
+                   / greatest(g.n_tokens, 1), 4) AS dup_coverage
+      FROM g LEFT JOIN per USING (doc_id) LEFT JOIN cov USING (doc_id)
+    """
+    want = {
+        int(r[0]): (int(r[1]), int(r[2]), int(r[3]), int(r[4]), float(r[5]))
+        for r in con.execute(sql).fetchall()
+    }
+    con.close()
+    assert got == want
+
+
+def test_dup_span_semantics(spark, span_docs):
+    """Planted 12-token phrase in docs 0-4 => each gets exactly 5
+    duplicated 8-gram spans (positions within the phrase) covering the
+    12 phrase tokens; unique docs get zero; short/empty docs get zero
+    spans but still one output row."""
+    from prom_tsdb_copyer_spark.operators.dedup import (
+        dup_span_apply,
+        dup_span_stats,
+    )
+
+    rows = {r["doc_id"]: r for r in dup_span_stats(span_docs, k=8).collect()}
+    assert set(rows) == set(range(12))
+    for i in range(5):
+        assert rows[i]["n_dup_spans"] == 12 - 8 + 1
+        assert rows[i]["n_covered_tokens"] == 12
+    for i in range(5, 10):
+        assert rows[i]["n_dup_spans"] == 0
+        assert rows[i]["dup_coverage"] == 0.0
+    assert rows[10]["n_spans"] == 0 and rows[10]["n_tokens"] == 3
+    assert rows[11]["n_spans"] == 0 and rows[11]["n_tokens"] == 0
+    # apply: docs 0-4 have coverage 12/(n_tokens) -- drop at a threshold
+    # below the smallest planted coverage, keep the rest
+    cov = min(rows[i]["dup_coverage"] for i in range(5))
+    kept = dup_span_apply(span_docs, k=8, max_coverage=cov - 0.01)
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == set(
+        range(5, 12)
+    )

@@ -181,3 +181,76 @@ def test_int8_quantization_roundtrip_and_recall(spark, emb):
     g = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
     recall = len(e & g) / len(e)
     assert recall >= 0.9, recall
+
+
+# ------------------------------------------- SemDeDup
+
+
+def _np_semdedup(vecs: dict, cents: np.ndarray, threshold: float):
+    """Pure-numpy SemDeDup reference: assign by max cosine (round 6,
+    ties -> lowest cell), within-cell pairs >= threshold (round 6),
+    transitive groups, keep argmin (cent_sim, id)."""
+    ids = sorted(vecs)
+    cell, csim = {}, {}
+    for i in ids:
+        sims = [round(_np_cosine(vecs[i], c), 6) for c in cents]
+        best = max(sims)
+        cell[i] = sims.index(best)
+        csim[i] = best
+    # union-find over within-cell similar pairs
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in ids:
+        for j in ids:
+            if i < j and cell[i] == cell[j]:
+                if round(_np_cosine(vecs[i], vecs[j]), 6) >= threshold:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+    groups = {}
+    for i in ids:
+        groups.setdefault(find(i), []).append(i)
+    keep = set()
+    for members in groups.values():
+        keep.add(min(members, key=lambda m: (csim[m], m)))
+    return cell, keep
+
+
+def test_semdedup_vs_numpy(spark, emb):
+    from prom_tsdb_copyer_spark.operators.similarity import (
+        semdedup_apply,
+        semdedup_flags,
+        train_centroids,
+    )
+
+    cents = train_centroids(emb, n_cells=4, n_iter=2)
+    pdf = emb.toPandas().set_index("vec_id")
+    vecs = {i: np.array(v) for i, v in pdf["embedding"].items()}
+    want_cell, want_keep = _np_semdedup(vecs, np.array(cents), 0.99)
+
+    reg: list = []
+    flags = semdedup_flags(emb, cents, threshold=0.99, cache_registry=reg)
+    rows = {r["vec_id"]: r for r in flags.collect()}
+    assert set(rows) == set(vecs)
+    got_keep = {i for i, r in rows.items() if r["keep"]}
+    assert {i: r["cell"] for i, r in rows.items()} == want_cell
+    assert got_keep == want_keep
+    # exactly one representative per component
+    comps = {}
+    for i, r in rows.items():
+        comps.setdefault(r["component"], []).append(r["keep"])
+    assert all(sum(flags_) == 1 for flags_ in comps.values())
+    # the planted near-dup pairs (i, 100+i) are never both kept
+    for i in range(5):
+        assert not (100 + i in got_keep and i in got_keep)
+
+    kept_df = semdedup_apply(emb, cents, threshold=0.99)
+    assert {r["vec_id"] for r in kept_df.select("vec_id").collect()} == want_keep
+    for df in reg:
+        df.unpersist()

@@ -112,6 +112,13 @@ def run_bench() -> dict:
         fresh()
         runs.append(timed(full_cascade)[0])
     secs = min(runs)
+    # diagnostic (stderr, not the record): per-pass times expose WHICH
+    # pass a contended window hit -- min-of-3 hides it in the JSON
+    print(
+        "cascade_write passes: "
+        + ", ".join(f"{r:.2f}s" for r in runs),
+        file=sys.stderr,
+    )
     queries["rollup_cascade_write"] = round(secs, 3)
     headline = n_rows / secs
 

@@ -699,6 +699,50 @@ def decontaminate_apply(
 # ------------------------------------------- duplicated-span detection
 
 
+def _dup_span_marked(
+    docs: DataFrame, k: int, min_df: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, __n_tokens, pos, sh, __dup): every word-k-gram span with its
+    60-bit hash and a duplicated flag (hash present in >= min_df
+    distinct documents). Documents with zero spans (shorter than k
+    tokens) contribute one null-span row (posexplode_outer) so per-doc
+    aggregates still see them. Shared kernel for dup_span_stats and
+    dup_span_scrub."""
+    base = docs.select(
+        F.col(id_col),
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                 lambda t: t != "").alias("__toks"),
+    )
+    toks = F.col("__toks")
+    sz = F.size(toks)
+    grams = F.when(
+        sz >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(sz - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array())
+    spans = (
+        base.select(F.col(id_col), sz.alias("__n_tokens"),
+                    F.posexplode_outer(grams).alias("__p0", "__g"))
+        .select(
+            id_col,
+            "__n_tokens",
+            (F.col("__p0") + 1).alias("pos"),
+            F.when(F.col("__g").isNotNull(), hash60(F.col("__g"))).alias("sh"),
+        )
+    )
+    # document frequency per span hash; >= min_df distinct docs => dup
+    dup_hashes = (
+        spans.where(F.col("sh").isNotNull())
+        .select("sh", id_col).distinct()
+        .groupBy("sh").count()
+        .where(F.col("count") >= min_df)
+        .select("sh", F.lit(True).alias("__dup"))
+    )
+    return spans.join(dup_hashes, "sh", "left")
+
+
 def dup_span_stats(
     docs: DataFrame,
     k: int = 8,
@@ -738,39 +782,7 @@ def dup_span_stats(
     corpus make the df aggregation itself skew-safe (count partials),
     and the join back is on the uniformly-distributed hash.
     """
-    base = docs.select(
-        F.col(id_col),
-        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
-                 lambda t: t != "").alias("__toks"),
-    )
-    toks = F.col("__toks")
-    sz = F.size(toks)
-    grams = F.when(
-        sz >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(sz - (k - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        ),
-    ).otherwise(F.array())
-    spans = (
-        base.select(F.col(id_col), sz.alias("__n_tokens"),
-                    F.posexplode_outer(grams).alias("__p0", "__g"))
-        .select(
-            id_col,
-            "__n_tokens",
-            (F.col("__p0") + 1).alias("pos"),
-            F.when(F.col("__g").isNotNull(), hash60(F.col("__g"))).alias("sh"),
-        )
-    )
-    # document frequency per span hash; >= min_df distinct docs => dup
-    dup_hashes = (
-        spans.where(F.col("sh").isNotNull())
-        .select("sh", id_col).distinct()
-        .groupBy("sh").count()
-        .where(F.col("count") >= min_df)
-        .select("sh", F.lit(True).alias("__dup"))
-    )
-    marked = spans.join(dup_hashes, "sh", "left")
+    marked = _dup_span_marked(docs, k, min_df, text_col, id_col)
     per_doc = marked.groupBy(id_col).agg(
         F.first("__n_tokens").alias("n_tokens"),
         F.count("sh").alias("n_spans"),
@@ -821,3 +833,71 @@ def dup_span_apply(
     stats = dup_span_stats(docs, k, min_df, text_col, id_col)
     drop = stats.where(F.col("dup_coverage") > max_coverage).select(id_col)
     return docs.join(drop, id_col, "left_anti")
+
+
+def dup_span_scrub(
+    docs: DataFrame,
+    k: int = 8,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level remediation for duplicated spans (what Lee et al.
+    2021 actually do: CUT the duplicated substring out of the text
+    rather than dropping the whole document -- dup_span_apply is the
+    document-level variant). Every token covered by any duplicated
+    span (union of [i, i+k-1] over duplicated positions) is removed;
+    the text is rebuilt from the surviving tokens in original order.
+
+    Output: (id, n_tokens, n_removed_tokens, clean_text).
+
+    Scale shape: the covered-offset relation explodes k offsets per
+    DUPLICATED span only; the surviving-token set is a (id, pos)
+    anti-join of the positional token explode against it -- both keyed
+    by id, one shuffle each -- and the rebuild is the line_dedup
+    order-struct idiom (array_sort over collect_list of (pos, token),
+    concat_ws), all codegen'd, no UDF.
+
+    Whitespace canonicalization: the rebuild joins surviving tokens
+    with single spaces, so runs of whitespace in the original collapse
+    (the tokenizer already erased them -- same contract as the
+    chunk_documents token windows)."""
+    marked = _dup_span_marked(docs, k, min_df, text_col, id_col)
+    covered = (
+        marked.where(F.col("__dup"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("__cov", F.lit(True))
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                     lambda t: t != "")
+        ).alias("__p0", "tok"),
+    ).select(
+        id_col, (F.col("__p0") + 1).alias("pos"), "tok"
+    )
+    flagged = toks.join(covered, [id_col, "pos"], "left")
+    kept = F.array_sort(
+        F.collect_list(  # collect_list drops nulls -> kept tokens only
+            F.when(
+                F.col("__cov").isNull() & F.col("tok").isNotNull(),
+                F.struct(F.col("pos"), F.col("tok")),
+            )
+        )
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("tok").alias("n_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("__cov"), 1).cast("long")), F.lit(0)
+        ).alias("n_removed_tokens"),
+        F.concat_ws(
+            " ", F.transform(kept, lambda s: s.getField("tok"))
+        ).alias("clean_text"),
+    )

@@ -511,3 +511,31 @@ def test_dup_span_semantics(spark, span_docs):
     assert {r["doc_id"] for r in kept.select("doc_id").collect()} == set(
         range(5, 12)
     )
+
+
+def test_dup_span_scrub(spark, span_docs):
+    """Span-level remediation: the planted phrase's tokens are cut out
+    of docs 0-4 (filler survives in order); untouched docs round-trip
+    modulo whitespace canonicalization; removed-count == the stats
+    coverage count."""
+    from prom_tsdb_copyer_spark.operators.dedup import (
+        dup_span_scrub,
+        dup_span_stats,
+    )
+
+    stats = {r["doc_id"]: r for r in dup_span_stats(span_docs, k=8).collect()}
+    rows = {r["doc_id"]: r for r in dup_span_scrub(span_docs, k=8).collect()}
+    assert set(rows) == set(range(12))
+    for i in range(5):
+        filler_a = " ".join(f"u{i}_{j}" for j in range(i + 3))
+        filler_b = " ".join(f"v{i}_{j}" for j in range(20 - i))
+        assert rows[i]["clean_text"] == f"{filler_a} {filler_b}"
+    for i in range(5, 10):
+        assert rows[i]["clean_text"] == " ".join(
+            f"q{i}_{j}" for j in range(30)
+        )
+    assert rows[10]["clean_text"] == "short doc here"
+    assert rows[11]["clean_text"] == ""
+    for i in range(12):
+        assert rows[i]["n_removed_tokens"] == stats[i]["n_covered_tokens"]
+        assert rows[i]["n_tokens"] == stats[i]["n_tokens"]

@@ -464,3 +464,100 @@ def resample_mixture(
     )
     frac = frac_map[F.col(by)]
     return docs.where(frac.isNotNull() & (u < frac))
+
+
+def unigram_lm(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Train a unigram language model on the corpus itself: one row per
+    distinct lowercased whitespace token with its corpus count and
+    natural-log probability `logp = ln(cnt / total)`.
+
+    This is the degenerate-but-useful end of the CCNet-style LM quality
+    filter (Wenzek et al. 2020 score pages with a KenLM 5-gram; the
+    unigram analog needs no external model and already separates
+    natural prose from symbol soup / boilerplate).
+
+    Scale shape: one explode -> one (token) count aggregation (map-side
+    partials absorb the Zipf head: a corpus-wide token costs one
+    combiner row per partition, not a hot reducer), then the scalar
+    corpus total joins back as a broadcast of ONE row -- no global
+    window over the vocabulary (the vocab relation is unbounded at web
+    scale, same argument as line_dedup's boilerplate set)."""
+    toks = docs.select(
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    return counts.join(F.broadcast(total)).select(
+        "token",
+        "cnt",
+        F.log(F.col("cnt") / F.col("__total")).alias("logp"),
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    lm: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram log-likelihood quality score: sum over the
+    document's tokens of the LM's `ln p(token)`, in exact milli-nat
+    BIGINT units (`logp_mills = round(sum * 1000)` -- the contract's
+    no-float-quotient discipline; mean/perplexity are one division away
+    for human use). Lower (more negative per token) = further from the
+    corpus distribution: symbol soup, lorem-ipsum, wrong-language docs.
+
+    `lm` defaults to a model trained on `docs` itself (`unigram_lm`);
+    pass a reference-corpus LM to score a candidate crawl against a
+    clean corpus (the actual CCNet setup). Tokens absent from `lm`
+    score `ln(1/total)`-equivalent via the smallest observed logp minus
+    ln(2) -- a documented floor, not add-one smoothing, so the
+    self-trained path (no OOV by construction) is exact.
+
+    Output: (id, n_tokens, logp_mills). Empty docs score 0 mills over
+    0 tokens.
+
+    Scale shape: the (id, token, k) relation is one aggregation of the
+    token explode; the join to the LM is BY TOKEN -- Zipf-skewed on the
+    build fan-out, but each probe row is a DISTINCT (doc, token) pair
+    so per-reducer volume is bounded by the doc-frequency spread and
+    AQE's skew-join split handles the head tokens; the LM is NOT
+    force-broadcast (unbounded vocabulary at corpus scale). One final
+    groupBy(id) sum."""
+    if lm is None:
+        lm = unigram_lm(docs, text_col=text_col, id_col=id_col)
+    floor = lm.agg(
+        (F.min("logp") - F.log(F.lit(2.0))).alias("__floor")
+    )
+    doc_toks = (
+        docs.select(
+            F.col(id_col),
+            F.explode_outer(_tokens(F.lower(F.col(text_col)))).alias(
+                "token"
+            ),
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count(F.col("token")).alias("k"))
+    )
+    scored = (
+        doc_toks.join(lm.select("token", "logp"), "token", "left")
+        .join(F.broadcast(floor))
+        .select(
+            id_col,
+            "k",
+            F.col("token").isNotNull().alias("__has"),
+            F.when(F.col("token").isNull(), F.lit(0.0))  # empty doc row
+            .otherwise(F.coalesce(F.col("logp"), F.col("__floor")))
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("__has"), F.col("k")).otherwise(0)
+        ).cast("long").alias("n_tokens"),
+        F.round(F.sum(F.col("k") * F.col("lp")) * 1000)
+        .cast("long")
+        .alias("logp_mills"),
+    )

@@ -402,3 +402,138 @@ def test_mixture_weights_shares_sum_to_one(spark):
     assert rows["a"]["weight"] == 40 and rows["b"]["weight"] == 60
     assert abs(rows["a"]["share"] - 0.4) < 1e-9
     assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def lm_docs(spark):
+    rows = [
+        (0, "the cat sat on the mat and the dog sat too"),
+        (1, "the dog and the cat are in the house"),
+        (2, "zq9 xv7 qq3 zz8"),  # symbol soup: every token is rare
+        (3, "the the the the"),
+        (4, ""),
+        (5, "   "),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _py_unigram(rows):
+    """Pure-python reference: self-trained unigram LM, per-doc
+    sum(k * ln(cnt/total)) in half-away-from-zero milli-nats."""
+    import math
+
+    toks = {i: t.lower().split() for i, t in rows}
+    counts: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            counts[t] = counts.get(t, 0) + 1
+    total = sum(counts.values())
+    out = {}
+    for i, ts in toks.items():
+        s = sum(math.log(counts[t] / total) for t in ts)
+        mills = int(math.copysign(math.floor(abs(s) * 1000 + 0.5), s))
+        out[i] = (len(ts), mills)
+    return out
+
+
+def test_unigram_logprob_vs_python(spark, lm_docs):
+    from prom_tsdb_copyer_spark.operators.text import unigram_logprob
+
+    want = _py_unigram(
+        [(r["doc_id"], r["text"]) for r in lm_docs.collect()]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logp_mills"])
+        for r in unigram_logprob(lm_docs).collect()
+    }
+    assert got == want
+    # junk doc scores lower PER TOKEN than natural prose
+    per_tok = {i: got[i][1] / got[i][0] for i in (0, 2)}
+    assert per_tok[2] < per_tok[0]
+    # empty / whitespace-only docs: zero tokens, zero mills
+    assert got[4] == (0, 0) and got[5] == (0, 0)
+
+
+def test_unigram_logprob_external_lm_oov_floor(spark, lm_docs):
+    """Scoring against a reference-corpus LM: OOV tokens take the
+    floor (min logp - ln 2), in-vocab tokens the LM's logp."""
+    import math
+
+    from prom_tsdb_copyer_spark.operators.text import (
+        unigram_lm,
+        unigram_logprob,
+    )
+
+    ref = lm_docs.where("doc_id in (0, 1)")  # LM knows only prose
+    lm = unigram_lm(ref)
+    lm_rows = {r["token"]: (r["cnt"], r["logp"]) for r in lm.collect()}
+    total = sum(c for c, _ in lm_rows.values())
+    assert all(
+        abs(lp - math.log(c / total)) < 1e-12
+        for c, lp in lm_rows.values()
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logp_mills"])
+        for r in unigram_logprob(lm_docs, lm=lm).collect()
+    }
+    floor = min(lp for _, lp in lm_rows.values()) - math.log(2.0)
+    s = 4 * floor  # doc 2: four OOV tokens
+    assert got[2] == (
+        4,
+        int(math.copysign(math.floor(abs(s) * 1000 + 0.5), s)),
+    )
+    s0 = sum(
+        lm_rows[t][1]
+        for t in "the cat sat on the mat and the dog sat too".split()
+        if t in lm_rows
+    ) + floor * sum(
+        1
+        for t in "the cat sat on the mat and the dog sat too".split()
+        if t not in lm_rows
+    )
+    assert got[0] == (
+        11,
+        int(math.copysign(math.floor(abs(s0) * 1000 + 0.5), s0)),
+    )
+
+
+def test_unigram_logprob_vs_duckdb(spark, lm_docs):
+    """Exactness vs an independent DuckDB implementation (the r7 gate
+    rotation candidate's oracle SQL, including empty docs)."""
+    import duckdb
+
+    from prom_tsdb_copyer_spark.operators.text import unigram_logprob
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logp_mills"])
+        for r in unigram_logprob(lm_docs).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", lm_docs.toPandas())
+    sql = r"""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                 regexp_split_to_array(trim(lower(text)), '\s+'),
+                 t -> t <> '')) AS token
+        FROM docs),
+      lm AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM lm),
+      dt AS (SELECT doc_id, token, count(*) AS k FROM toks GROUP BY 1, 2),
+      agg AS (
+        SELECT dt.doc_id,
+               CAST(sum(dt.k) AS BIGINT) AS n_tokens,
+               CAST(round(sum(dt.k * ln(lm.cnt / t.total)) * 1000)
+                    AS BIGINT) AS logp_mills
+        FROM dt JOIN lm USING (token) CROSS JOIN tot t
+        GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(a.n_tokens, 0) AS n_tokens,
+             coalesce(a.logp_mills, 0) AS logp_mills
+      FROM docs d LEFT JOIN agg a USING (doc_id)
+    """
+    want = {
+        int(i): (int(n), int(m))
+        for i, n, m in con.sql(sql).fetchall()
+    }
+    assert got == want

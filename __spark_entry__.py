@@ -563,6 +563,22 @@ def q_dedup_exact(spark, sf_dir):
     return dedup_exact(_docs(spark, sf_dir))
 
 
+DUP_SPAN_K = 8  # word-k-gram width for the gated duplicated-span row
+
+
+def q_dup_span_stats(spark, sf_dir):
+    """Cross-document duplicated-span detection (r6 operator, gated
+    r6): word-8-gram positional hashes, df >= 2 distinct docs => span
+    is duplicated; per-doc span counts + interval-union coverage. The
+    oracle recomputes the same rule independently in DuckDB (hash60 of
+    the joined gram, distinct-doc df, offset-explode coverage).
+    n_tokens cast long so both engines emit BIGINT."""
+    from prom_tsdb_copyer_spark.operators.dedup import dup_span_stats
+
+    out = dup_span_stats(_docs(spark, sf_dir), k=DUP_SPAN_K, min_df=2)
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
 def q_dedup_apply(spark, sf_dir):
     """Apply the dedup decision: keep one representative row per distinct
     text (broadcast semi-join against the keep list) -- the step that
@@ -1020,6 +1036,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r6 rotations (VERDICT r5 #2/#3/#6, inline comments at each site):
     doc_fingerprint, text_langid, pivot_type_by_day out;
     query_instant, scrub_pii, streaming_tier_cascade in.
+    Late-r6 fourth rotation: dedup_exact out (rule embedded verbatim
+    in dedup_apply's oracle keep-list subquery), dup_span_stats in
+    (the round's new duplicated-span operator family).
     """
     return {
         "tier_rollup_1m": q_tier_rollup_1m,
@@ -1096,7 +1115,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # agg_q1 rotated out in r5 (VERDICT r4 #1): a generic TPC-H-ish
         # aggregate whose group-agg semantics are covered by
         # tier_rollup_* / cube_counts; the slot gates decontaminate_flags
-        "dedup_exact": q_dedup_exact,
+        # dedup_exact rotated out in r7-prep (this round): its rule
+        # (min doc_id per md5(text) group) is embedded VERBATIM as the
+        # keep-list subquery of dedup_apply's oracle, so the surviving
+        # row still verifies the exact-dup decision end-to-end (the
+        # dedup_exact aggregate additionally stays pinned by
+        # test_dedup's planted-duplicate cases). The slot gates
+        # dup_span_stats -- the r6 duplicated-span operator family's
+        # detection kernel, whose oracle was developed and kept green
+        # in test_dup_span_stats_vs_duckdb before promotion.
+        "dup_span_stats": q_dup_span_stats,
         "dedup_apply": q_dedup_apply,
         "decontaminate_flags": q_decontaminate_flags,
         "pack_shards": q_pack_shards,
@@ -1235,10 +1263,54 @@ def _pipeline_oracles() -> dict[str, str]:
         "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)"
     )
     return {
-        "dedup_exact": """
-            SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
-                   count(*) AS n_dupes
-            FROM documents GROUP BY 1
+        # dedup_exact's oracle retired with its slot (r6 rotation): its
+        # rule survives verbatim as dedup_apply's keep-list subquery.
+        "dup_span_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, {tokens_expr} AS tk FROM documents),
+            g AS (
+              SELECT doc_id, len(tk) AS n_tokens,
+                     CASE WHEN len(tk) >= {DUP_SPAN_K} THEN
+                       list_transform(
+                         generate_series(1, len(tk) - {DUP_SPAN_K - 1}),
+                         i -> array_to_string(
+                           list_slice(tk, i, i + {DUP_SPAN_K - 1}), ' '))
+                     ELSE [] END AS grams
+              FROM toks),
+            p AS (
+              SELECT doc_id, n_tokens, grams,
+                     unnest(generate_series(1, len(grams))) AS pos
+              FROM g),
+            s AS (
+              SELECT doc_id, n_tokens, pos,
+                     {hash60_sql('grams[pos]')} AS sh
+              FROM p),
+            dup AS (
+              SELECT sh FROM (SELECT DISTINCT sh, doc_id FROM s)
+              GROUP BY sh HAVING count(*) >= 2),
+            marked AS (
+              SELECT s.doc_id, s.pos, dup.sh IS NOT NULL AS isdup
+              FROM s LEFT JOIN dup USING (sh)),
+            per AS (
+              SELECT doc_id, count(*) AS n_spans,
+                     count(CASE WHEN isdup THEN 1 END) AS n_dup
+              FROM marked GROUP BY 1),
+            cov AS (
+              SELECT doc_id, count(*) AS n_cov FROM (
+                SELECT DISTINCT doc_id, off FROM (
+                  SELECT doc_id,
+                         pos + unnest(generate_series(0, {DUP_SPAN_K - 1}))
+                           AS off
+                  FROM marked WHERE isdup))
+              GROUP BY 1)
+            SELECT g.doc_id, CAST(g.n_tokens AS BIGINT) AS n_tokens,
+                   coalesce(per.n_spans, 0) AS n_spans,
+                   coalesce(per.n_dup, 0) AS n_dup_spans,
+                   coalesce(cov.n_cov, 0) AS n_covered_tokens,
+                   round(coalesce(cov.n_cov, 0)
+                         / greatest(g.n_tokens, 1), 4) AS dup_coverage
+            FROM g LEFT JOIN per USING (doc_id)
+                   LEFT JOIN cov USING (doc_id)
         """,
         "dedup_apply": """
             SELECT doc_id, lang, source, n_chars FROM documents

@@ -562,3 +562,216 @@ def semdedup_apply(
     )
     keep = flags.where(F.col("keep")).select(id_col)
     return embeddings.join(keep, id_col, "left_semi")
+
+
+# ------------------------------------------------ product quantization
+
+
+def _pq_check(dim: int, m: int) -> int:
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {m}")
+    return dim // m
+
+
+def _sub(vec: Column, j: int, dsub: int) -> Column:
+    """Contiguous subspace slice j (1-based F.slice)."""
+    return F.slice(vec, j * dsub + 1, dsub)
+
+
+def _l2_code(sub: Column, codebook: list[list[float]]) -> Column:
+    """argmin-L2 code for one subvector against a LITERAL codebook --
+    the shuffle-free struct-max idiom of `_cell_sims` (max of
+    (-dist^2, -code) ties toward the LOWEST code id), but in HOF form:
+    the codebook is ONE literal array<array<double>> and distances are
+    a transform + zip_with + aggregate fold. A flattened per-term fold
+    (k * dsub scalar expressions) overflowed janino's 64KB generated-
+    method limit at k=16, dsub=16 and silently dropped the projection
+    out of whole-stage codegen; the HOF form stays compiled at any
+    k * dsub. `sub` re-evaluates once per codebook entry inside the
+    transform lambda -- k slice copies, same order as the distance
+    arithmetic itself (no quadratic HOF trap)."""
+    k = len(codebook)
+    cb = F.array(*[_lit_vec(c) for c in codebook])
+    d2s = F.transform(
+        cb,
+        lambda c: F.aggregate(
+            F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    best = F.array_max(
+        F.zip_with(
+            d2s,
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda d, i: F.struct((-d).alias("nd"), (-i).alias("nc")),
+        )
+    )
+    return (-best["nc"]).cast("int")
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebook training (Jegou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"): split each
+    vector into `m` contiguous subspaces and run k-means (k codes,
+    L2) independently in each; returns m codebooks of k x (dim/m)
+    centroids. Init per subspace = the lowest-`k`-id vectors'
+    subslices (deterministic, same convention as `train_centroids`).
+
+    Scale shape: the corpus is pinned once for the whole loop (the
+    iterative-relation rule, PLANS.md); each Lloyd iteration is ONE
+    projection computing all m assignment codes (literal argmin folds,
+    zero shuffle) and ONE aggregation -- the per-subspace explode
+    rides inside the agg's own shuffle, map-side partials reduce it to
+    m*k rows of dim/m means each, so only the m x k x (dim/m) codebook
+    matrix ever reaches the driver."""
+    from pyspark import StorageLevel
+
+    corpus = _as_double(embeddings, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        seed_rows = [
+            list(r[vec_col])
+            for r in corpus.orderBy(id_col).limit(k).collect()
+        ]
+        if not seed_rows:
+            raise ValueError("empty corpus")
+        dim = len(seed_rows[0])
+        dsub = _pq_check(dim, m)
+        books = [
+            [v[j * dsub:(j + 1) * dsub] for v in seed_rows]
+            for j in range(m)
+        ]
+        vec = F.col(vec_col)
+        for _ in range(n_iter):
+            assigned = corpus.select(
+                vec_col,
+                *[
+                    _l2_code(_sub(vec, j, dsub), books[j]).alias(f"c{j}")
+                    for j in range(m)
+                ],
+            )
+            pairs = assigned.select(
+                F.explode(F.array(*[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.col(f"c{j}").alias("cell"),
+                        _sub(vec, j, dsub).alias("sv"),
+                    )
+                    for j in range(m)
+                ])).alias("x")
+            ).select("x.*")
+            means = (
+                pairs.groupBy("j", "cell")
+                .agg(*[
+                    F.avg(F.col("sv").getItem(i)).alias(f"m{i}")
+                    for i in range(dsub)
+                ])
+                .collect()
+            )
+            for r in means:  # empty cells keep their previous centroid
+                books[int(r["j"])][int(r["cell"])] = [
+                    r[f"m{i}"] for i in range(dsub)
+                ]
+        return books
+    finally:
+        corpus.unpersist()
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """(id, codes): each vector compressed to m small ints -- the PQ
+    index relation. Pure projection over literal codebooks (zero
+    shuffle, codegen); at m=8 over 64-dim doubles the index is ~16x
+    fewer bytes than the raw vectors, which is the entire scan/shuffle
+    story of PQ at corpus scale."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    vec = F.col(vec_col)
+    corpus = _as_double(embeddings, vec_col)
+    return corpus.select(
+        id_col,
+        F.array(*[
+            _l2_code(_sub(vec, j, dsub), codebooks[j]) for j in range(m)
+        ]).alias(out_col),
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k by asymmetric-distance computation (ADC):
+    corpus rows carry ONLY their PQ codes; each query's exact
+    subvectors score against the LITERAL codebook entry its neighbor's
+    code selects (`element_at` into the codebook array, zip_with/
+    aggregate L2 fold -- lambda bodies touch only lambda args, so no
+    HOF re-eval blowup). Output (query_id, neighbor_id, adc_dist,
+    rank), rank ascending by distance with id tie-break.
+
+    Scale shape: identical join topology to `brute_force_topk`
+    (broadcast queries against the corpus, per-query top-k window) but
+    the corpus side of the scan/shuffle is the m-int code relation
+    instead of the dim-double vectors -- the memory/bandwidth win that
+    makes exhaustive ADC viable where exhaustive exact is not
+    (Jegou et al. 2011 sec. IV). Compute per pair stays O(dim) in this
+    column-algebra form; a per-query LUT (the paper's O(m) trick) is a
+    batched-numpy variant left to a mapInPandas specialization if
+    profiling ever demands it."""
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+    qs = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    books_lit = [
+        F.array(*[_lit_vec(c) for c in codebooks[j]]) for j in range(m)
+    ]
+
+    def d2_j(j):
+        cent = F.element_at(books_lit[j], F.col("codes").getItem(j) + 1)
+        diff2 = F.zip_with(
+            _sub(F.col("qvec"), j, dsub), cent,
+            lambda a, b: (a - b) * (a - b),
+        )
+        return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+
+    scored = (
+        codes.crossJoin(F.broadcast(qs))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(sum(d2_j(j) for j in range(m)), round_to).alias(
+                "adc_dist"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -254,3 +254,118 @@ def test_semdedup_vs_numpy(spark, emb):
     assert {r["vec_id"] for r in kept_df.select("vec_id").collect()} == want_keep
     for df in reg:
         df.unpersist()
+
+
+# ------------------------------------------------ product quantization
+
+
+def _np_pq_train(vecs_by_id, m, k, n_iter):
+    """Pure-numpy twin of pq_train: lowest-id init, L2 argmin with
+    lowest-code tie-break, per-cell mean update, empty cells frozen."""
+    ids = sorted(vecs_by_id)
+    X = np.array([vecs_by_id[i] for i in ids])
+    dim = X.shape[1]
+    dsub = dim // m
+    books = [
+        [list(vecs_by_id[i][j * dsub:(j + 1) * dsub]) for i in ids[:k]]
+        for j in range(m)
+    ]
+    for _ in range(n_iter):
+        for j in range(m):
+            sub = X[:, j * dsub:(j + 1) * dsub]
+            cb = np.array(books[j])
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            codes = d2.argmin(axis=1)  # argmin takes the first min
+            for c in range(k):
+                members = sub[codes == c]
+                if len(members):
+                    books[j][c] = members.mean(axis=0).tolist()
+    return books
+
+
+def test_pq_train_matches_numpy(spark, emb):
+    from prom_tsdb_copyer_spark.operators.similarity import pq_train
+
+    pdf = emb.toPandas().set_index("vec_id")
+    vecs = {i: np.array(v) for i, v in pdf["embedding"].items()}
+    m, k = 4, 4
+    got = pq_train(emb, m=m, k=k, n_iter=2)
+    want = _np_pq_train(vecs, m, k, 2)
+    assert len(got) == m and all(len(b) == k for b in got)
+    for j in range(m):
+        np.testing.assert_allclose(
+            np.array(got[j]), np.array(want[j]), rtol=1e-9, atol=1e-12
+        )
+
+
+def test_pq_encode_matches_numpy(spark, emb):
+    from prom_tsdb_copyer_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    pdf = emb.toPandas().set_index("vec_id")
+    vecs = {i: np.array(v) for i, v in pdf["embedding"].items()}
+    m, k = 4, 8
+    books = pq_train(emb, m=m, k=k, n_iter=2)
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()}
+    dsub = 64 // m
+    for i, v in vecs.items():
+        want = []
+        for j in range(m):
+            cb = np.array(books[j])
+            d2 = ((v[j * dsub:(j + 1) * dsub] - cb) ** 2).sum(axis=1)
+            want.append(int(d2.argmin()))
+        assert got[i] == want
+
+
+def test_pq_topk_adc_matches_numpy_and_finds_planted(spark, emb):
+    """ADC exactness vs a numpy recompute with the same codebooks, and
+    recall: each planted near-identical pair quantizes to the same
+    codes, so ADC distance 0 puts it at rank 1."""
+    from pyspark.sql import functions as F
+
+    from prom_tsdb_copyer_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    pdf = emb.toPandas().set_index("vec_id")
+    vecs = {i: np.array(v) for i, v in pdf["embedding"].items()}
+    m, k_codes = 4, 16
+    books = pq_train(emb, m=m, k=k_codes, n_iter=3)
+    queries = emb.where(F.col("vec_id") < 5)
+    got = pq_topk(emb, queries, books, k=3).collect()
+    # numpy ADC reference over the spark-encoded codes
+    codes = {r["vec_id"]: list(r["codes"])
+             for r in pq_encode(emb, books).collect()}
+    dsub = 64 // m
+    for q in range(5):
+        dists = []
+        for i in codes:
+            if i == q:
+                continue
+            d = 0.0
+            for j in range(m):
+                cent = np.array(books[j][codes[i][j]])
+                diff = vecs[q][j * dsub:(j + 1) * dsub] - cent
+                d += float(diff @ diff)
+            dists.append((round(d, 6), i))
+        want = sorted(dists)[:3]
+        have = [(r["adc_dist"], r["neighbor_id"])
+                for r in sorted(got, key=lambda r: r["rank"])
+                if r["query_id"] == q]
+        assert have == want
+        # planted twin 100+q shares all m codes, so its ADC distance is
+        # exactly q's own reconstruction error -- the minimum any
+        # same-coded point can score -- and it lands at rank 1
+        assert codes[q] == codes[100 + q]
+        recon = 0.0
+        for j in range(m):
+            diff = vecs[q][j * dsub:(j + 1) * dsub] - np.array(
+                books[j][codes[q][j]]
+            )
+            recon += float(diff @ diff)
+        assert have[0][1] == 100 + q
+        assert abs(have[0][0] - recon) < 1e-6

@@ -901,3 +901,80 @@ def dup_span_scrub(
             " ", F.transform(kept, lambda s: s.getField("tok"))
         ).alias("clean_text"),
     )
+
+
+# ------------------------------------------- incremental near-dup index
+
+
+def neardup_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """(bands, sets): the two relations that together form a
+    persistable near-dup index of a corpus -- `bands` = (id, band,
+    sig) LSH bucket rows (what candidate probes join against; write it
+    partitioned/bucketed by (band, sig)), `sets` = (id, _set)
+    shingle-hash sets (what exact verification rejoins; write it
+    keyed by id). Both derive from ONE aggregation (`shingle_sets`);
+    signatures/bands are projections over it."""
+    sets = shingle_sets(docs, text_col=text_col, id_col=id_col)
+    bands = band_signatures(_signatures_from_sets(sets, id_col), id_col)
+    return bands, sets
+
+
+def incremental_neardup_pairs(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    index_sets: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist: bool = True,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Near-dup detection for a NEW batch against an already-indexed
+    corpus: returns every verified pair (a, b, inter, n_a, n_b,
+    jaccard) with at least one side in the batch (new-new AND
+    new-old), WITHOUT re-shingling the indexed corpus -- the batch
+    case of `minhash_dedup_pairs`, equal by construction to running
+    the full pipeline over (indexed + new) and keeping the pairs that
+    touch the batch (pinned by test). Doc ids must be disjoint between
+    the index and the batch (caller contract, same as any id-keyed
+    index).
+
+    Scale shape: only the BATCH is shingled; the indexed corpus
+    participates exclusively through its two index relations -- the
+    band join probes old bucket rows by (band, sig) equi-join (at
+    100 TB the index side is bucketed on that key, so the probe
+    shuffles the batch, not the corpus), and exact verification
+    rejoins only the candidate ids' set rows. Daily-crawl dedup cost
+    thus scales with |batch| + |collisions|, not |corpus|. The batch's
+    set relation is pinned when `persist` (three consumers: bands +
+    both verify sides; ReusedExchange won't dedupe HOF-lambda plans,
+    PLANS.md) -- `cache_registry` receives it for deterministic
+    unpersist."""
+    new_sets = shingle_sets(new_docs, text_col=text_col, id_col=id_col)
+    if persist:
+        from pyspark import StorageLevel
+
+        new_sets = new_sets.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_registry is not None:
+            cache_registry.append(new_sets)
+    new_bands = band_signatures(
+        _signatures_from_sets(new_sets, id_col), id_col
+    )
+    probe = new_bands.select(F.col(id_col).alias("a"), "band", "sig")
+    build = index_bands.unionByName(new_bands).select(
+        F.col(id_col).alias("b"), "band", "sig"
+    )
+    cands = (
+        probe.join(build, on=["band", "sig"])
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+        )
+        .distinct()
+    )
+    sets_all = index_sets.unionByName(new_sets)
+    out = _verify_candidate_pairs(sets_all, cands, id_col)
+    return out.where(F.col("jaccard") >= threshold)

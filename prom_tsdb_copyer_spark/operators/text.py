@@ -561,3 +561,62 @@ def unigram_logprob(
         .cast("long")
         .alias("logp_mills"),
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    top_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k keywords by tf-idf (Sparck Jones 1972 idf
+    weighting): tf = in-doc term count, idf = ln(n_docs / df) with df
+    counted over distinct documents. Output one row per (doc, keyword):
+    (id, keyword, tf, df, tfidf_mills) -- the score in exact milli-unit
+    BIGINT (round(tf * idf * 1000), the no-float-quotient contract
+    discipline), rank ties broken by token text for determinism.
+
+    Scale shape: the distinct (doc, token) relation feeds BOTH the df
+    aggregation (map-side partials) and the scoring join -- computed
+    once per branch off one projection, no corpus re-tokenize; n_docs
+    is a one-row broadcast (count of the doc relation, not a global
+    window). The join to the df relation is BY TOKEN with the same
+    Zipf-skew posture as unigram_logprob (AQE skew-split; df relation
+    never force-broadcast -- the vocabulary is unbounded). The final
+    per-doc top-k is a window over at most |doc's distinct tokens|
+    rows, partitioned by doc -- never a global sort."""
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.explode(_tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_rel = toks.groupBy("token").agg(
+        F.count("*").alias("df")  # toks is distinct per (doc, token)
+    )
+    n_docs = docs.agg(F.count("*").alias("__n"))
+    scored = (
+        toks.join(df_rel, "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            id_col,
+            F.col("token").alias("keyword"),
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("df")) * 1000
+            )
+            .cast("long")
+            .alias("tfidf_mills"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf_mills"), F.asc("keyword")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(id_col, "keyword", "tf", "df", "tfidf_mills", "rank")
+    )

@@ -539,3 +539,41 @@ def test_dup_span_scrub(spark, span_docs):
     for i in range(12):
         assert rows[i]["n_removed_tokens"] == stats[i]["n_covered_tokens"]
         assert rows[i]["n_tokens"] == stats[i]["n_tokens"]
+
+
+def test_incremental_neardup_equals_full_recompute(spark, docs):
+    """Index the 30 base docs, then dedup the 10 planted dups as an
+    incoming batch: the incremental pairs must equal the FULL pipeline
+    over all 40 docs restricted to pairs touching the batch (new-new
+    pairs like 100+i vs 200+i included), with no old-old pairs and no
+    re-shingling of the indexed corpus."""
+    from prom_tsdb_copyer_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_dedup_pairs,
+        neardup_index,
+    )
+
+    old = docs.where(F.col("doc_id") < 100)
+    new = docs.where(F.col("doc_id") >= 100)
+    bands, sets = neardup_index(old)
+    reg = []
+    got = {
+        (r["a"], r["b"]): (r["inter"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in incremental_neardup_pairs(
+            new, bands, sets, threshold=0.5, cache_registry=reg
+        ).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    want = {
+        (r["a"], r["b"]): (r["inter"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in minhash_dedup_pairs(docs, threshold=0.5).collect()
+        if r["a"] in new_ids or r["b"] in new_ids
+    }
+    assert got == want
+    # planted structure: each exact dup pairs with its base, and the
+    # two new derivatives of the same base pair with each other
+    assert all((i, 100 + i) in got for i in range(5))
+    assert all((100 + i, 200 + i) in got for i in range(5))
+    assert not any(a < 100 and b < 100 for a, b in got)
+    for df_ in reg:
+        df_.unpersist()

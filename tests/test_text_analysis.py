@@ -537,3 +537,55 @@ def test_unigram_logprob_vs_duckdb(spark, lm_docs):
         for i, n, m in con.sql(sql).fetchall()
     }
     assert got == want
+
+
+def test_tfidf_keywords_vs_duckdb(spark, lm_docs):
+    """Exactness vs an independent DuckDB implementation (gate-ready
+    oracle SQL), plus semantics: a token unique to one doc outranks
+    the corpus-wide 'the' there."""
+    import duckdb
+
+    from prom_tsdb_copyer_spark.operators.text import tfidf_keywords
+
+    got = {
+        (r["doc_id"], r["rank"]): (
+            r["keyword"], r["tf"], r["df"], r["tfidf_mills"]
+        )
+        for r in tfidf_keywords(lm_docs, top_k=3).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", lm_docs.toPandas())
+    sql = r"""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                 regexp_split_to_array(trim(lower(text)), '\s+'),
+                 t -> t <> '')) AS token
+        FROM docs),
+      dt AS (SELECT doc_id, token, count(*) AS tf
+             FROM toks GROUP BY 1, 2),
+      dfr AS (SELECT token, count(*) AS df FROM dt GROUP BY 1),
+      nd AS (SELECT count(*) AS n FROM docs),
+      scored AS (
+        SELECT dt.doc_id, dt.token AS keyword, dt.tf, dfr.df,
+               CAST(round(dt.tf * ln(nd.n / dfr.df) * 1000) AS BIGINT)
+                 AS tfidf_mills
+        FROM dt JOIN dfr USING (token) CROSS JOIN nd)
+      SELECT doc_id, keyword, tf, df, tfidf_mills,
+             CAST(rank AS INTEGER) AS rank
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id
+              ORDER BY tfidf_mills DESC, keyword) AS rank
+            FROM scored)
+      WHERE rank <= 3
+    """
+    want = {
+        (int(r[0]), int(r[5])): (r[1], int(r[2]), int(r[3]), int(r[4]))
+        for r in con.sql(sql).fetchall()
+    }
+    assert got == want
+    # doc 0's top keyword is NOT 'the' (df=3 across docs 0,1,3 kills
+    # its idf); rare in-doc tokens win
+    assert got[(0, 1)][0] != "the"
+    # empty/whitespace docs produce no keyword rows
+    assert not any(d in (4, 5) for d, _ in got)

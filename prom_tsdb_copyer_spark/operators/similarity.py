@@ -583,12 +583,16 @@ def _l2_code(sub: Column, codebook: list[list[float]]) -> Column:
     the shuffle-free struct-max idiom of `_cell_sims` (max of
     (-dist^2, -code) ties toward the LOWEST code id), but in HOF form:
     the codebook is ONE literal array<array<double>> and distances are
-    a transform + zip_with + aggregate fold. A flattened per-term fold
-    (k * dsub scalar expressions) overflowed janino's 64KB generated-
-    method limit at k=16, dsub=16 and silently dropped the projection
-    out of whole-stage codegen; the HOF form stays compiled at any
-    k * dsub. `sub` re-evaluates once per codebook entry inside the
-    transform lambda -- k slice copies, same order as the distance
+    a transform + zip_with + aggregate fold. Trade-off, measured: a
+    flattened per-term fold (k * dsub scalar expressions) would be
+    whole-stage-codegen'd but overflowed janino's 64KB generated-
+    method limit at k=16, dsub=16 -- an ERROR + silent interpreted
+    fallback per batch; HOF expressions are CodegenFallback by design
+    (never codegen'd, plan-pinned in test_plans), so the HOF form is
+    the same interpreted evaluation WITHOUT the failed-compile cost
+    and with a plan that stays kilobytes instead of megabytes at
+    production k. `sub` re-evaluates once per codebook entry inside
+    the transform lambda -- k slice copies, same order as the distance
     arithmetic itself (no quadratic HOF trap)."""
     k = len(codebook)
     cb = F.array(*[_lit_vec(c) for c in codebook])

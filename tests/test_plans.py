@@ -159,3 +159,62 @@ def test_connected_components_fixed_iters_uses_cached_edges(spark):
     out = connected_components(pairs, fixed_iters=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_pq_encode_zero_exchange_compact_plan(spark):
+    """pq_encode is a pure projection DIRECTLY over the scan: NO
+    Exchange anywhere. HOF expressions are CodegenFallback (the
+    projection sits outside the scan's codegen span by design); the
+    point of the HOF form is the COMPACT plan -- the flattened
+    per-term fold at k*dsub=256 overflowed janino's 64KB method limit
+    (compile ERROR + per-batch fallback) and ballooned the plan
+    string; here the whole argmin renders in one Project line."""
+    from prom_tsdb_copyer_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(64)])
+         for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq_train(emb, m=4, k=16, n_iter=1)
+    p = _plan(pq_encode(emb, books))
+    assert p.count("Exchange") == 0
+    assert "Project" in p and "Scan" in p
+
+
+def test_unigram_lm_total_is_broadcast_not_window(spark):
+    """The corpus-total term joins as a one-row BroadcastExchange --
+    never a global (empty-partition) window over the unbounded
+    vocabulary relation."""
+    from prom_tsdb_copyer_spark.operators.text import unigram_lm
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a d")], "doc_id long, text string"
+    )
+    p = _plan(unigram_lm(docs))
+    assert "BroadcastExchange" in p
+    assert "Window" not in p
+
+
+def test_incremental_neardup_probe_is_equijoin(spark):
+    """The batch probes the index by (band, sig) equi-join -- no
+    cartesian/broadcast-nested-loop anywhere in the incremental plan."""
+    from prom_tsdb_copyer_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        neardup_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i} " * 30) for i in range(6)],
+        "doc_id long, text string",
+    )
+    bands, sets = neardup_index(docs)
+    new = spark.createDataFrame(
+        [(100, "t1 " * 30)], "doc_id long, text string"
+    )
+    p = _plan(incremental_neardup_pairs(new, bands, sets, persist=False))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -183,6 +183,7 @@ def run_bench() -> dict:
         "pack_shards",
         "line_dedup",
         "chunk_documents",
+        "dup_span_stats",
     ):
         runs = [
             timed(lambda name=name: q[name](spark, SF_DIR).count())[0]
@@ -191,6 +192,20 @@ def run_bench() -> dict:
         queries[name] = round(min(runs), 3)
         if name in persisted:
             queries[f"{name}_cold"] = round(runs[0], 3)
+
+    # r6 operators not (yet) in the 50-slot gate, timed the same way
+    from prom_tsdb_copyer_spark.operators.text import (
+        tfidf_keywords,
+        unigram_logprob,
+    )
+
+    docs = entry._docs(spark, SF_DIR)
+    for nm, fn in (
+        ("unigram_logprob", lambda: unigram_logprob(docs).count()),
+        ("tfidf_keywords", lambda: tfidf_keywords(docs, top_k=5).count()),
+    ):
+        runs = [timed(fn)[0] for _ in range(3)]
+        queries[nm] = round(min(runs), 3)
 
     spark.stop()
     return {

@@ -5,8 +5,9 @@ copy-tool CLI in cli.py).
 Stages (each optional, order fixed -- the order the operators were
 designed to compose in, tests/test_pipeline_e2e.py):
 
-    scrub-pii -> line-dedup -> exact-dedup -> near-dedup(minhash) ->
-    decontaminate -> quality-filter(gopher) -> chunk -> pack
+    scrub-pii -> line-dedup -> exact-dedup -> span-scrub ->
+    near-dedup(minhash) -> decontaminate -> quality-filter(gopher) ->
+    lm-quality(unigram) -> chunk -> pack
 
 Input: a documents parquet (doc_id, text, ...); output: a cleaned
 corpus parquet (or chunked training samples with shard assignments),
@@ -31,8 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 STAGES = (
-    "scrub", "line-dedup", "dedup", "neardup", "decontaminate",
-    "quality",
+    "scrub", "line-dedup", "dedup", "span-scrub", "neardup",
+    "decontaminate", "quality", "lm-quality",
 )
 
 #: chunk_idx headroom in the arithmetic (doc_id, chunk_idx) ->
@@ -91,6 +92,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="eval documents parquet (decontaminate stage)")
     p.add_argument("--neardup-threshold", type=float, default=0.5)
     p.add_argument("--line-min-df", type=int, default=2)
+    p.add_argument("--span-k", type=int, default=8,
+                   help="word-k-gram width for the span-scrub stage")
+    p.add_argument(
+        "--lm-min-mills", type=int, default=-12000, metavar="MILLS",
+        help="lm-quality keeps docs with mean token logprob >= this"
+             " (milli-nats/token; corpus-self-trained unigram LM)",
+    )
     p.add_argument("--chunk", default=None, metavar="W:O",
                    help="emit training windows (window:overlap tokens)")
     p.add_argument("--pack", type=int, default=None, metavar="BUDGET",
@@ -171,6 +179,15 @@ def build_pipeline(spark, args) -> tuple[DataFrame, dict, list]:
         docs = pin(
             docs.join(F.broadcast(keep), "doc_id", "left_semi"), "dedup"
         )
+    if "span-scrub" in stages:
+        from .operators.dedup import dup_span_scrub
+
+        docs = pin(
+            dup_span_scrub(docs, k=args.span_k).select(
+                "doc_id", F.col("clean_text").alias("text")
+            ),
+            "span-scrub",
+        )
     if "neardup" in stages:
         side: list[DataFrame] = []
         pairs = minhash_dedup_pairs(
@@ -192,6 +209,21 @@ def build_pipeline(spark, args) -> tuple[DataFrame, dict, list]:
         ).select("doc_id")
         docs = pin(
             docs.join(F.broadcast(ok), "doc_id", "left_semi"), "quality"
+        )
+    if "lm-quality" in stages:
+        from .operators.text import unigram_logprob
+
+        scores = unigram_logprob(docs)
+        # mean-per-token threshold in integer algebra (mills >= mean *
+        # n_tokens); empty docs (n_tokens = 0) trivially pass -- the
+        # length rules live in the gopher stage, not here
+        ok = scores.where(
+            F.col("logp_mills")
+            >= F.lit(int(args.lm_min_mills)) * F.col("n_tokens")
+        ).select("doc_id")
+        docs = pin(
+            docs.join(F.broadcast(ok), "doc_id", "left_semi"),
+            "lm-quality",
         )
 
     out = docs

@@ -159,3 +159,44 @@ def test_pipeline_rejects_bad_args(spark, tmp_path):
     ])
     with pytest.raises(SystemExit, match="chunk"):
         run_pipeline(spark, args)
+
+
+def test_pipeline_span_scrub_and_lm_quality_stages(spark, tmp_path):
+    """The two r6 opt-in stages: span-scrub cuts a phrase planted
+    across several docs (without dropping the docs), lm-quality drops
+    a symbol-soup doc whose every token is corpus-unique while prose
+    docs survive."""
+    import random
+
+    rows = []
+    phrase = " ".join(f"dup{j}" for j in range(12))
+    for i in range(20):
+        # prose property: tokens come from a SHARED vocabulary (high
+        # unigram probability) but in a per-doc shuffled ORDER, so no
+        # 8-gram repeats across docs outside the planted phrase
+        toks = [f"common{j % 30}" for j in range(79)]
+        random.Random(i).shuffle(toks)
+        filler = " ".join(toks) + f" w{i}_tail"  # one rare marker
+        # docs 0-4 carry the duplicated phrase
+        rows.append((i, f"{phrase} {filler}" if i < 5 else filler))
+    # soup: every token corpus-unique => minimum possible unigram score
+    rows.append((200, " ".join(f"uniq{j}" for j in range(80))))
+    src = str(tmp_path / "docs2")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(src)
+    out = str(tmp_path / "out2")
+    args = build_parser().parse_args([
+        "--source", src, "--target", out,
+        "--stages", "span-scrub,lm-quality",
+        "--lm-min-mills", "-4500",
+    ])
+    report = run_pipeline(spark, args)
+    assert report["docs_in"] == 21
+    assert report["stages"]["span-scrub"] == 21   # scrub cuts, not drops
+    assert report["stages"]["lm-quality"] == 20   # soup doc dropped
+    cleaned = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
+    assert 200 not in ids and ids == set(range(20))
+    # the duplicated phrase is gone from every survivor, filler intact
+    assert cleaned.where(cleaned.text.contains("dup0")).count() == 0
+    assert cleaned.where(cleaned.text.contains("w3_tail")).count() == 1

@@ -435,3 +435,97 @@ def streaming_dedup_exact(
         .dropDuplicatesWithinWatermark(["text_hash"])
         .select("text_hash", id_col, ts_col)
     )
+
+
+def streaming_neardup(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int = 8,
+):
+    """Continuous near-duplicate detection over a document stream: each
+    micro-batch is deduped against the ACCUMULATED corpus via the
+    incremental index (`operators/dedup.py:incremental_neardup_pairs`),
+    its verified pairs append to `pairs_dir`, and its own (bands, sets)
+    index relations append to `index_dir` so later batches see it --
+    the streaming form of daily-crawl dedup. After draining a source,
+    the union of emitted pairs equals `minhash_dedup_pairs` over the
+    whole corpus EXACTLY (every pair surfaces in the batch where its
+    second member arrives; pinned by test against the batch pipeline).
+
+    State story: unlike the watermark-bounded exact dedup, near-dup
+    needs the full corpus index forever -- so the state lives as
+    APPEND-ONLY PARQUET RELATIONS (at cluster scale: Iceberg tables
+    bucketed by (band, sig) / id), not in the streaming state store;
+    per-batch compute scales with |batch| + collisions, and executor
+    memory is flat. All three writes go through the epoch-gated
+    idempotent sink (foreachBatch is at-least-once), ordered pairs ->
+    bands -> sets so a mid-batch crash converges on retry: a replay
+    that already finds this epoch's bands in the index produces the
+    same candidate set (the probe build side is distinct), and
+    already-written legs are marker-skipped."""
+    from ..operators.dedup import (
+        _signatures_from_sets,
+        band_signatures,
+        incremental_neardup_pairs,
+    )
+
+    bands_schema = f"{id_col} long, band int, sig string"
+    sets_schema = f"{id_col} long, _set array<long>"
+
+    def _read_or_empty(path: str, ddl: str) -> DataFrame:
+        import glob
+        import os
+
+        if os.path.isdir(path) and glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True
+        ):
+            return spark.read.schema(ddl).parquet(path)
+        return spark.createDataFrame([], ddl)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        index_bands = _read_or_empty(index_dir + "/bands", bands_schema)
+        index_sets = _read_or_empty(index_dir + "/sets", sets_schema)
+        reg: list[DataFrame] = []
+        try:
+            # the SAME kernel as batch incremental dedup -- no drift;
+            # the registry hands back the batch's pinned set relation,
+            # from which the index bands are a pure projection
+            pairs = incremental_neardup_pairs(
+                batch_df, index_bands, index_sets, threshold=threshold,
+                text_col=text_col, id_col=id_col, cache_registry=reg,
+            )
+            new_sets = reg[0]
+            new_bands = band_signatures(
+                _signatures_from_sets(new_sets, id_col), id_col
+            )
+            write_epoch_idempotent(pairs, pairs_dir, epoch_id)
+            write_epoch_idempotent(
+                new_bands, index_dir + "/bands", epoch_id
+            )
+            write_epoch_idempotent(
+                new_sets, index_dir + "/sets", epoch_id
+            )
+        finally:
+            for c in reg:
+                c.unpersist()
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(source_dir)
+    )
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -376,3 +376,53 @@ def test_streaming_tier_cascade_matches_batch_1h(spark, transcripts, tmp_path):
     n_withheld = batch.count() - len(want)
     assert 0 <= n_withheld <= 60  # only the open tail hours withheld
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_streaming_neardup_matches_batch_pipeline(spark, tmp_path):
+    """Drain a planted-duplicate corpus through streaming_neardup in
+    multiple micro-batches: the union of per-epoch pair emissions must
+    equal minhash_dedup_pairs over the whole corpus EXACTLY (each pair
+    surfaces once, in the epoch its second member arrives), and the
+    accumulated index must cover every doc."""
+    from prom_tsdb_copyer_spark.operators.dedup import minhash_dedup_pairs
+    from prom_tsdb_copyer_spark.streaming.incremental import (
+        streaming_neardup,
+    )
+
+    base = [
+        (i, " ".join(f"w{(i * 7 + j * 3) % 40}" for j in range(60)))
+        for i in range(20)
+    ]
+    dups = [(100 + i, base[i][1]) for i in range(5)]
+    near = [(200 + i, base[i][1].replace(f"w{(i * 7) % 40} ", "zzz ", 1))
+            for i in range(5)]
+    rows = base + dups + near
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    # multiple files => multiple micro-batches at maxFilesPerTrigger=1
+    docs.repartition(6, "doc_id").write.parquet(src)
+
+    idx = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_neardup(
+        spark, src, "doc_id long, text string", idx, pairs_dir, ckpt,
+        threshold=0.5, max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(300)
+
+    got = {
+        (r["a"], r["b"]): (r["inter"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    want = {
+        (r["a"], r["b"]): (r["inter"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == want and want  # nonempty and exactly equal
+    # no pair emitted twice across epochs
+    assert spark.read.parquet(pairs_dir).count() == len(got)
+    # index covers the whole corpus once
+    idx_ids = [r["doc_id"]
+               for r in spark.read.parquet(idx + "/sets").collect()]
+    assert sorted(idx_ids) == sorted(i for i, _ in rows)

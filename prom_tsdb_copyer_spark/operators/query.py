@@ -520,3 +520,61 @@ def quantile_over_time(
             agg.alias("quantile"),
         )
     )
+
+
+def label_values(
+    tier_df: DataFrame,
+    label: str,
+    series_cols: list[str],
+    matchers: list[str] | None = None,
+    from_ms: int | None = None,
+    to_ms: int | None = None,
+    metric_name: str = "turns",
+) -> DataFrame:
+    """Prometheus `/api/v1/label/<name>/values` analog: the sorted
+    distinct values a label takes over the (matcher + time-range)
+    selected slice. Null labels surface as "" (the ingest-side
+    convention: an absent Prometheus label IS the empty string,
+    matchers.py).
+
+    Scale shape: the matcher/range predicates push into the scan
+    (select_series), the projection prunes to ONE column before the
+    distinct, and the distinct's map-side partials mean a label with
+    few values costs one combiner row per partition regardless of
+    corpus size. Sorting |values| rows is driver-trivial."""
+    sel = select_series(
+        tier_df, series_cols, matchers, from_ms, to_ms, metric_name
+    )
+    return (
+        sel.select(
+            F.coalesce(F.col(label).cast("string"), F.lit("")).alias(
+                "value"
+            )
+        )
+        .distinct()
+        .orderBy("value")
+    )
+
+
+def series_list(
+    tier_df: DataFrame,
+    series_cols: list[str],
+    matchers: list[str] | None = None,
+    from_ms: int | None = None,
+    to_ms: int | None = None,
+    metric_name: str = "turns",
+) -> DataFrame:
+    """Prometheus `/api/v1/series` analog: the distinct label sets
+    with at least one point in the selected slice, one row per series,
+    labels nulls-as-"" normalized, ordered by the label tuple for a
+    deterministic listing. Same pushdown + prune-then-distinct shape
+    as `label_values` (the distinct moves |series| rows, not
+    |points|)."""
+    sel = select_series(
+        tier_df, series_cols, matchers, from_ms, to_ms, metric_name
+    )
+    cols = [
+        F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c)
+        for c in series_cols
+    ]
+    return sel.select(*cols).distinct().orderBy(*series_cols)

@@ -358,3 +358,55 @@ def test_pivot_counts_match_groupby(spark, transcripts):
             assert r[role] == flat.get((r["bucket_ms"], role), 0)
             n_cells += 1
     assert n_cells >= len(roles) * 2
+
+
+def test_label_values_and_series_list(spark, transcripts, transcripts_pdf):
+    """Prometheus metadata-API analogs vs a pandas recompute: sorted
+    distinct label values (nulls as ""), matcher-restricted variant,
+    and the distinct label-set listing."""
+    from prom_tsdb_copyer_spark.operators.query import (
+        label_values,
+        series_list,
+    )
+
+    tier = _tier(transcripts)
+    got = [r["value"] for r in label_values(tier, "tool", SERIES).collect()]
+    p = transcripts_pdf.copy()
+    p["tool"] = p["tool"].fillna("")
+    assert got == sorted(p["tool"].unique())
+    # matcher-restricted: only tools that co-occur with role=assistant
+    got_m = [
+        r["value"]
+        for r in label_values(
+            tier, "tool", SERIES, matchers=["role=assistant"]
+        ).collect()
+    ]
+    assert got_m == sorted(p[p["role"] == "assistant"]["tool"].unique())
+    # series listing: exact distinct label tuples, ordered
+    got_s = [(r["conv_id"], r["role"], r["tool"])
+             for r in series_list(tier, SERIES).collect()]
+    want_s = sorted(
+        {(c, r, t) for c, r, t in zip(p["conv_id"], p["role"], p["tool"])}
+    )
+    assert got_s == want_s
+
+
+def test_label_values_pushdown(spark, transcripts, tmp_path):
+    """The matcher + range predicates reach the parquet scan and the
+    read schema prunes to the selected columns (no full-width scan for
+    a one-column metadata query)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from prom_tsdb_copyer_spark.operators.query import label_values
+
+    path = str(tmp_path / "tier")
+    _tier(transcripts).write.parquet(path)
+    tier = spark.read.parquet(path)
+    q = label_values(tier, "tool", SERIES, matchers=["role=assistant"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q.explain()
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "role" in plan
+    assert "value#" not in plan.split("ReadSchema")[-1]

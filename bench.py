@@ -199,10 +199,33 @@ def run_bench() -> dict:
         unigram_logprob,
     )
 
+    from prom_tsdb_copyer_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk,
+    )
+    from prom_tsdb_copyer_spark.sources.tables import load_table
+
     docs = entry._docs(spark, SF_DIR)
+    emb = load_table(entry._prep(spark), SF_DIR, "embeddings")
+
+    # index build is a one-time amortized cost: time it ONCE as its own
+    # key, then time the query path against the pretrained index
+    build_secs, (cents, books) = timed(
+        lambda: ivfpq_index(emb, n_cells=8, m=4, k_codes=16)
+    )
+    queries["ivfpq_build"] = round(build_secs, 3)
+
+    def ivfpq():
+        qs = emb.where("vec_id < 10")
+        return ivfpq_topk(
+            emb, qs, k=3, n_cells=8, n_probe=2, m=4, k_codes=16,
+            centroids=cents, codebooks=books,
+        ).count()
+
     for nm, fn in (
         ("unigram_logprob", lambda: unigram_logprob(docs).count()),
         ("tfidf_keywords", lambda: tfidf_keywords(docs, top_k=5).count()),
+        ("ivfpq_topk", ivfpq),
     ):
         runs = [timed(fn)[0] for _ in range(3)]
         queries[nm] = round(min(runs), 3)

@@ -791,6 +791,33 @@ def _residual(vec: Column, cell: Column, cents: list[list[float]]) -> Column:
     )
 
 
+def ivfpq_index(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the IVF-PQ index parameters once: coarse centroids plus
+    PQ codebooks over the per-cell residuals. Returns (centroids,
+    codebooks) to pass into `ivfpq_topk` -- index build is a one-time
+    cost amortized over every query batch (the bench times it
+    separately from the query path for exactly this reason)."""
+    cents = train_centroids(
+        embeddings, n_cells, id_col=id_col, vec_col=vec_col
+    )
+    assigned = assign_cells(
+        _as_double(embeddings, vec_col), cents, vec_col
+    ).select(id_col, vec_col, "cell")
+    resid = assigned.select(
+        id_col, "cell",
+        _residual(F.col(vec_col), F.col("cell"), cents).alias("__r"),
+    )
+    books = pq_train(resid, m=m, k=k_codes, id_col=id_col, vec_col="__r")
+    return cents, books
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -827,7 +854,11 @@ def ivfpq_topk(
     from pyspark.sql import Window
 
     corpus = _as_double(embeddings, vec_col)
-    if centroids == "kmeans":
+    if centroids == "kmeans" and codebooks is None:
+        centroids, codebooks = ivfpq_index(
+            embeddings, n_cells, m, k_codes, id_col, vec_col
+        )
+    elif centroids == "kmeans":
         centroids = train_centroids(
             embeddings, n_cells, id_col=id_col, vec_col=vec_col
         )

@@ -218,3 +218,16 @@ def test_incremental_neardup_probe_is_equijoin(spark):
     p = _plan(incremental_neardup_pairs(new, bands, sets, persist=False))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bigram_pairs_no_window_shuffle(spark):
+    """Adjacency pairs come from the shifted-index projection -- the
+    bigram plan has NO Window operator (a per-doc lag window would
+    shuffle the corpus once just to form pairs)."""
+    from prom_tsdb_copyer_spark.operators.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a b"), (1, "b c")], "doc_id long, text string"
+    )
+    p = _plan(bigram_logprob(docs))
+    assert "Window" not in p

@@ -222,10 +222,16 @@ def run_bench() -> dict:
             centroids=cents, codebooks=books,
         ).count()
 
+    from prom_tsdb_copyer_spark.operators.sketches import hll_tier
+
+    def hll_1h():
+        return hll_tier(transcripts, SERIES, "1h", "text").count()
+
     for nm, fn in (
         ("unigram_logprob", lambda: unigram_logprob(docs).count()),
         ("tfidf_keywords", lambda: tfidf_keywords(docs, top_k=5).count()),
         ("ivfpq_topk", ivfpq),
+        ("hll_tier_1h", hll_1h),
     ):
         runs = [timed(fn)[0] for _ in range(3)]
         queries[nm] = round(min(runs), 3)

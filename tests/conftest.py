@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from prom_tsdb_copyer_spark.datagen import gen_transcripts_df
@@ -8,6 +10,12 @@ from prom_tsdb_copyer_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
+    # one JVM serves the whole 230+-test session; at the 8g default the
+    # tail-end e2e tests can die with a bare Py4JNetworkError ("Answer
+    # from Java side is empty" = driver JVM OOM-killed) after hundreds
+    # of cached plans/broadcasts accumulate -- seen twice on the full
+    # suite while every file passes in isolation
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     s = get_spark(app_name="tests", cores=4, shuffle_partitions=8)
     yield s
     s.stop()

@@ -577,3 +577,65 @@ def test_incremental_neardup_equals_full_recompute(spark, docs):
     assert not any(a < 100 and b < 100 for a, b in got)
     for df_ in reg:
         df_.unpersist()
+
+
+def test_dup_span_scrub_vs_duckdb(spark, span_docs):
+    """Scrub exactness vs an independent DuckDB implementation of the
+    remediation rule (covered-offset union, ordered token rebuild) --
+    the gate-ready oracle for a future slot rotation."""
+    import duckdb
+
+    from prom_tsdb_copyer_spark.operators.dedup import dup_span_scrub
+
+    k = 8
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed_tokens"],
+                      r["clean_text"])
+        for r in dup_span_scrub(span_docs, k=k).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", span_docs.toPandas())
+    sql = rf"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           t -> t <> '') AS tk
+        FROM docs),
+      g AS (
+        SELECT doc_id, tk, len(tk) AS n_tokens,
+               CASE WHEN len(tk) >= {k} THEN
+                 list_transform(generate_series(1, len(tk) - {k - 1}),
+                   i -> array_to_string(list_slice(tk, i, i + {k - 1}), ' '))
+               ELSE [] END AS grams
+        FROM toks),
+      s AS (
+        SELECT doc_id, pos,
+               ('0x' || substr(md5(grams[pos]), 1, 15))::BIGINT AS sh
+        FROM (SELECT doc_id, grams,
+                     unnest(generate_series(1, len(grams))) AS pos
+              FROM g)),
+      dup AS (
+        SELECT sh FROM (SELECT DISTINCT sh, doc_id FROM s)
+        GROUP BY sh HAVING count(*) >= 2),
+      cov AS (
+        SELECT DISTINCT doc_id,
+               pos + unnest(generate_series(0, {k - 1})) AS off
+        FROM s SEMI JOIN dup USING (sh)),
+      kept AS (
+        SELECT t.doc_id,
+               string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
+               count(*) AS n_kept
+        FROM (SELECT doc_id, unnest(tk) AS tok,
+                     generate_subscripts(tk, 1) AS pos FROM g) t
+        ANTI JOIN cov ON cov.doc_id = t.doc_id AND cov.off = t.pos
+        GROUP BY 1)
+      SELECT g.doc_id, g.n_tokens,
+             g.n_tokens - coalesce(kept.n_kept, 0) AS n_removed,
+             coalesce(kept.clean_text, '') AS clean_text
+      FROM g LEFT JOIN kept USING (doc_id)
+    """
+    want = {
+        int(r[0]): (int(r[1]), int(r[2]), r[3])
+        for r in con.sql(sql).fetchall()
+    }
+    assert got == want

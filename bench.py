@@ -103,6 +103,7 @@ def run_bench() -> dict:
     # sandbox's one shared disk shows +-25% run-to-run contention
     # noise, and min-of-k measures the engine rather than the
     # neighbors (same protocol as --cascade-only).
+    loadavg_start = os.getloadavg()
     cold_secs, _ = timed(full_cascade)
     queries["rollup_cascade_cold"] = round(cold_secs, 3)
     fresh()
@@ -112,8 +113,13 @@ def run_bench() -> dict:
         fresh()
         runs.append(timed(full_cascade)[0])
     secs = min(runs)
-    # diagnostic (stderr, not the record): per-pass times expose WHICH
-    # pass a contended window hit -- min-of-3 hides it in the JSON
+    # contention evidence IN THE RECORD (VERDICT r6 #1): the per-pass
+    # times and the host load averages ride in the emitted JSON, so a
+    # contended record is machine-detectable (a wide pass spread or a
+    # load average far above this job's own core count flags the
+    # window) instead of living only in stderr + BENCH.md prose
+    cascade_passes = [round(r, 3) for r in runs]
+    loadavg_after_cascade = os.getloadavg()
     print(
         "cascade_write passes: "
         + ", ".join(f"{r:.2f}s" for r in runs),
@@ -161,7 +167,11 @@ def run_bench() -> dict:
     # exactly that two rounds running: 3.43 -> 4.83 -> 6.96 s on the
     # record while quiet-window runs sat at ~3.8 s). The first of the
     # three doubles as the warm-up, matching the cascade protocol.
-    q = entry.queries()
+    q = dict(entry.queries())
+    # rotated out of the 50-slot gate (r7) but still bench-tracked so
+    # round-over-round timing comparisons stay like-with-like
+    q["neardup_components"] = entry.q_neardup_components
+    q["ann_cosine_topk"] = entry.q_ann_cosine_topk
     # queries whose operators persist intermediates: later passes reuse
     # the cache (Spark's CacheManager matches identical logical plans),
     # so the min-of-3 is a WARM number. Report the first (cache-
@@ -225,7 +235,13 @@ def run_bench() -> dict:
     from prom_tsdb_copyer_spark.operators.sketches import hll_tier
 
     def hll_1h():
-        return hll_tier(transcripts, SERIES, "1h", "text").count()
+        # sketch a REAL-cardinality column (ADVICE r6: the transcripts'
+        # bench text column is the constant "t", so sketching it timed
+        # a degenerate 1-distinct payload): conv_id per (role, tool,
+        # hour) gives thousands of distinct values per sketch
+        return hll_tier(
+            transcripts, ["role", "tool"], "1h", "conv_id"
+        ).count()
 
     for nm, fn in (
         ("unigram_logprob", lambda: unigram_logprob(docs).count()),
@@ -245,6 +261,14 @@ def run_bench() -> dict:
         "sf": SF_DIR,
         "bench_rows": n_rows,
         "cpus": CPUS,
+        # machine-readable contention evidence (VERDICT r6 #1): the
+        # three measured cascade passes plus 1/5/15-min load averages
+        # sampled at bench start and right after the cascade legs
+        "cascade_passes": cascade_passes,
+        "loadavg_start": [round(x, 2) for x in loadavg_start],
+        "loadavg_after_cascade": [
+            round(x, 2) for x in loadavg_after_cascade
+        ],
         "samples_per_sec_cold": round(n_rows / queries["rollup_cascade_cold"], 1),
         "agg_nosink_samples_per_sec": round(
             n_rows / queries["rollup_1m_agg_nosink"], 1

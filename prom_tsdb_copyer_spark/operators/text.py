@@ -504,10 +504,17 @@ def unigram_logprob(
 ) -> DataFrame:
     """Per-document unigram log-likelihood quality score: sum over the
     document's tokens of the LM's `ln p(token)`, in exact milli-nat
-    BIGINT units (`logp_mills = round(sum * 1000)` -- the contract's
-    no-float-quotient discipline; mean/perplexity are one division away
-    for human use). Lower (more negative per token) = further from the
-    corpus distribution: symbol soup, lorem-ipsum, wrong-language docs.
+    BIGINT units. The rounding happens INSIDE the sum -- each distinct
+    (doc, token) row quantizes its own `round(lp * 1000)` to BIGINT and
+    the per-doc total is `sum(k * lp_mills)`, an exact integer fold
+    (VERDICT r6 #3: rounding a float SUM to mills is the accumulated-
+    float class that caused the r2/r3 hash-fail cluster -- partition-
+    order last-ulp drift can flip a mill; per-row quantization makes
+    the total partition-order independent by construction, the same
+    discipline functions/exact.py applies to value sums). Mean /
+    perplexity are one division away for human use. Lower (more
+    negative per token) = further from the corpus distribution: symbol
+    soup, lorem-ipsum, wrong-language docs.
 
     `lm` defaults to a model trained on `docs` itself (`unigram_lm`);
     pass a reference-corpus LM to score a candidate crawl against a
@@ -548,16 +555,19 @@ def unigram_logprob(
             id_col,
             "k",
             F.col("token").isNotNull().alias("__has"),
-            F.when(F.col("token").isNull(), F.lit(0.0))  # empty doc row
-            .otherwise(F.coalesce(F.col("logp"), F.col("__floor")))
-            .alias("lp"),
+            # per-row quantization: BIGINT mills before the sum
+            F.round(
+                F.when(F.col("token").isNull(), F.lit(0.0))  # empty doc
+                .otherwise(F.coalesce(F.col("logp"), F.col("__floor")))
+                * 1000
+            ).cast("long").alias("lp_mills"),
         )
     )
     return scored.groupBy(id_col).agg(
         F.sum(
             F.when(F.col("__has"), F.col("k")).otherwise(0)
         ).cast("long").alias("n_tokens"),
-        F.round(F.sum(F.col("k") * F.col("lp")) * 1000)
+        F.sum(F.col("k") * F.col("lp_mills"))
         .cast("long")
         .alias("logp_mills"),
     )
@@ -633,11 +643,14 @@ def bigram_logprob(
     `sum ln(lam * P(w|prev) + (1-lam) * P(w))` over its tokens, with
     the document's FIRST token scored by the unigram term alone (no
     context; the standard open-vocabulary convention without a <s>
-    mark), in the same exact milli-nat BIGINT units. Trained on the
-    corpus itself; interpolation (Jelinek-Mercer smoothing) keeps
-    unseen-in-context tokens finite via the unigram floor -- for a
-    self-trained model every (prev, w) pair in scoring was counted in
-    training, so the score is exact, no backoff heuristics.
+    mark), in the same exact milli-nat BIGINT units -- quantized
+    PER (doc, prev, w) ROW (`round(lp * 1000)` BIGINT, then an exact
+    `sum(k * lp_mills)` integer fold; the unigram_logprob rounding
+    discipline, VERDICT r6 #3). Trained on the corpus itself;
+    interpolation (Jelinek-Mercer smoothing) keeps unseen-in-context
+    tokens finite via the unigram floor -- for a self-trained model
+    every (prev, w) pair in scoring was counted in training, so the
+    score is exact, no backoff heuristics.
 
     Output: (id, n_tokens, logp_mills); empty docs (0, 0).
 
@@ -687,10 +700,13 @@ def bigram_logprob(
         .select(
             id_col,
             "k",
-            F.log(
-                F.lit(float(lam)) * F.col("p_bi")
-                + F.lit(1.0 - float(lam)) * F.col("p_uni")
-            ).alias("lp"),
+            # per-row BIGINT mills (exact-integer-sum discipline)
+            F.round(
+                F.log(
+                    F.lit(float(lam)) * F.col("p_bi")
+                    + F.lit(1.0 - float(lam)) * F.col("p_uni")
+                ) * 1000
+            ).cast("long").alias("lp_mills"),
         )
     )
     # first token of each non-empty doc: unigram-only term
@@ -698,12 +714,16 @@ def bigram_logprob(
         base.where(n >= 1)
         .select(id_col, F.element_at(toks, 1).alias("w"))
         .join(uni.select(F.col("token").alias("w"), "logp"), "w")
-        .select(id_col, F.lit(1).alias("k"), F.col("logp").alias("lp"))
+        .select(
+            id_col,
+            F.lit(1).alias("k"),
+            F.round(F.col("logp") * 1000).cast("long").alias("lp_mills"),
+        )
     )
     scored = body.unionByName(heads)
     agg = scored.groupBy(id_col).agg(
         F.sum("k").cast("long").alias("n_tokens"),
-        F.round(F.sum(F.col("k") * F.col("lp")) * 1000)
+        F.sum(F.col("k") * F.col("lp_mills"))
         .cast("long")
         .alias("logp_mills"),
     )

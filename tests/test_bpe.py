@@ -165,6 +165,45 @@ def test_bpe_train_consecutive_occurrences(spark):
         assert list(seg[did]["subwords"]) == flat
 
 
+def test_bpe_train_sampled_on_duplicated_corpus(spark):
+    """The sample-training path (VERDICT r6 #5): on a duplication-heavy
+    corpus -- every document replicated 20x under fresh ids -- a
+    deterministic hash sample keeps a proper subset of the copies, and
+    because every kept copy carries the same text, ANY non-empty sample
+    has a word histogram proportional to the full corpus' (scaling
+    preserves both the pair ordering and its lexicographic tie-breaks),
+    so sampled training learns EXACTLY the full-corpus merge list.
+    Also pins: determinism (same seed -> same merges) and the
+    fraction-validation error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    reps = [
+        (did + 1000 * r, text)
+        for did, text in TEXTS.items()
+        for r in range(20)
+    ]
+    docs = spark.createDataFrame(reps, "doc_id long, text string")
+    full = bpe_train(docs, n_merges=6)
+    want, _ = _py_train_proper(TEXTS, n_merges=6)
+    assert full == want  # duplication never changes relative pair order
+
+    sampled = bpe_train(docs, n_merges=6, sample_fraction=0.4,
+                        sample_seed=7)
+    assert sampled == full
+    # the hash filter genuinely dropped documents (same law as the
+    # operator's): deterministic per (seed, id), so recomputable here
+    u = F.pmod(F.xxhash64(F.lit(7), F.col("doc_id")), F.lit(1 << 40)) \
+        / F.lit(float(1 << 40))
+    kept = docs.where(u < 0.4).count()
+    assert 0 < kept < docs.count()
+    # determinism: a second run with the same seed is identical
+    assert bpe_train(docs, n_merges=6, sample_fraction=0.4,
+                     sample_seed=7) == sampled
+    with pytest.raises(ValueError, match="sample_fraction"):
+        bpe_train(docs, n_merges=2, sample_fraction=1.5)
+
+
 def test_bpe_merge_fold_exact_cases(spark):
     """The single-merge kernel on the adversarial words directly."""
     from pyspark.sql import functions as F

@@ -417,9 +417,19 @@ def lm_docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def _mills(x: float) -> int:
+    """round(x * 1000) half-away-from-zero (Spark F.round / DuckDB
+    round law) -- the PER-ROW quantization the operators apply before
+    their exact integer sums (VERDICT r6 #3 discipline)."""
+    import math
+
+    return int(math.copysign(math.floor(abs(x) * 1000 + 0.5), x))
+
+
 def _py_unigram(rows):
     """Pure-python reference: self-trained unigram LM, per-doc
-    sum(k * ln(cnt/total)) in half-away-from-zero milli-nats."""
+    sum(k * round(ln(cnt/total) * 1000)) -- per-token mills quantized
+    BEFORE the (exact integer) sum."""
     import math
 
     toks = {i: t.lower().split() for i, t in rows}
@@ -430,8 +440,7 @@ def _py_unigram(rows):
     total = sum(counts.values())
     out = {}
     for i, ts in toks.items():
-        s = sum(math.log(counts[t] / total) for t in ts)
-        mills = int(math.copysign(math.floor(abs(s) * 1000 + 0.5), s))
+        mills = sum(_mills(math.log(counts[t] / total)) for t in ts)
         out[i] = (len(ts), mills)
     return out
 
@@ -477,24 +486,13 @@ def test_unigram_logprob_external_lm_oov_floor(spark, lm_docs):
         for r in unigram_logprob(lm_docs, lm=lm).collect()
     }
     floor = min(lp for _, lp in lm_rows.values()) - math.log(2.0)
-    s = 4 * floor  # doc 2: four OOV tokens
-    assert got[2] == (
-        4,
-        int(math.copysign(math.floor(abs(s) * 1000 + 0.5), s)),
-    )
+    # doc 2: four OOV tokens, each quantized to mills before the sum
+    assert got[2] == (4, 4 * _mills(floor))
     s0 = sum(
-        lm_rows[t][1]
+        _mills(lm_rows[t][1]) if t in lm_rows else _mills(floor)
         for t in "the cat sat on the mat and the dog sat too".split()
-        if t in lm_rows
-    ) + floor * sum(
-        1
-        for t in "the cat sat on the mat and the dog sat too".split()
-        if t not in lm_rows
     )
-    assert got[0] == (
-        11,
-        int(math.copysign(math.floor(abs(s0) * 1000 + 0.5), s0)),
-    )
+    assert got[0] == (11, s0)
 
 
 def test_unigram_logprob_vs_duckdb(spark, lm_docs):
@@ -523,7 +521,8 @@ def test_unigram_logprob_vs_duckdb(spark, lm_docs):
       agg AS (
         SELECT dt.doc_id,
                CAST(sum(dt.k) AS BIGINT) AS n_tokens,
-               CAST(round(sum(dt.k * ln(lm.cnt / t.total)) * 1000)
+               CAST(sum(dt.k * CAST(round(ln(lm.cnt / t.total) * 1000)
+                                    AS BIGINT))
                     AS BIGINT) AS logp_mills
         FROM dt JOIN lm USING (token) CROSS JOIN tot t
         GROUP BY 1)
@@ -620,15 +619,12 @@ def test_bigram_logprob_vs_python_and_duckdb(spark, lm_docs):
         if not ts:
             want[i] = (0, 0)
             continue
-        s = math.log(uni[ts[0]] / total)
+        s = _mills(math.log(uni[ts[0]] / total))
         for a, b in zip(ts, ts[1:]):
-            s += math.log(
+            s += _mills(math.log(
                 lam * big[(a, b)] / ctx[a] + (1 - lam) * uni[b] / total
-            )
-        want[i] = (
-            len(ts),
-            int(math.copysign(math.floor(abs(s) * 1000 + 0.5), s)),
-        )
+            ))
+        want[i] = (len(ts), s)
     got = {
         r["doc_id"]: (r["n_tokens"], r["logp_mills"])
         for r in bigram_logprob(lm_docs, lam=lam).collect()
@@ -663,18 +659,21 @@ def test_bigram_logprob_vs_python_and_duckdb(spark, lm_docs):
              FROM pair_rel GROUP BY 1, 2, 3),
       body AS (
         SELECT dp.doc_id, dp.k,
-               ln(0.7 * (c2.c2 / c1.c1)
-                  + 0.3 * exp(ln(uni.cnt / t.total))) AS lp
+               CAST(round(ln(0.7 * (c2.c2 / c1.c1)
+                             + 0.3 * exp(ln(uni.cnt / t.total))) * 1000)
+                    AS BIGINT) AS lp_mills
         FROM dp JOIN c2 USING (prev, w) JOIN c1 USING (prev)
                 JOIN uni ON uni.token = dp.w CROSS JOIN tot t),
       heads AS (
-        SELECT b.doc_id, 1 AS k, ln(uni.cnt / t.total) AS lp
+        SELECT b.doc_id, 1 AS k,
+               CAST(round(ln(uni.cnt / t.total) * 1000) AS BIGINT)
+                 AS lp_mills
         FROM base b JOIN uni ON uni.token = b.tk[1] CROSS JOIN tot t
         WHERE len(b.tk) >= 1),
       agg AS (
         SELECT doc_id,
                CAST(sum(k) AS BIGINT) AS n_tokens,
-               CAST(round(sum(k * lp) * 1000) AS BIGINT) AS logp_mills
+               CAST(sum(k * lp_mills) AS BIGINT) AS logp_mills
         FROM (SELECT * FROM body UNION ALL SELECT * FROM heads)
         GROUP BY 1)
       SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,

@@ -134,6 +134,135 @@ def _lit_vec(c: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in c])
 
 
+#: literal-fold ceiling (VERDICT r6 #2): the literal-centroid/codebook
+#: plans embed n_cells x dim (resp. m x k x dsub) float literals, which
+#: is the right zero-shuffle trick at sandbox cell counts but makes
+#: plan ANALYSIS/serialization the bottleneck long before execution at
+#: paper-scale counts (SemDeDup cites ~50k clusters for LAION; BENCH.md
+#: measured ivfpq_topk plan-analysis-dominated already at toy scale).
+#: Above this many matrix ROWS (cells, or m*k codebook entries) the
+#: `method='auto'` paths switch to a BROADCAST numpy matrix consumed by
+#: one Arrow-batched mapInPandas kernel (the Gorilla batch-encoder
+#: pattern, functions/gorilla.py): plan size stays O(1) in n_cells, the
+#: matrix ships once per executor, and the kernel is a blocked matmul/
+#: gather -- identical join topology, identical tie-break laws (numpy
+#: argmax/argmin pick the FIRST max/min == the struct-max neg-id law).
+LITERAL_CELL_LIMIT = 256
+
+
+def _resolve_method(method: str, n_rows: int) -> str:
+    if method == "auto":
+        return "literal" if n_rows <= LITERAL_CELL_LIMIT else "broadcast"
+    if method not in ("literal", "broadcast"):
+        raise ValueError(f"method must be auto|literal|broadcast, got {method}")
+    return method
+
+
+def _with_appended(df: DataFrame, kernel, new_fields) -> DataFrame:
+    """mapInPandas plumbing: run `kernel(pdf) -> pdf` per Arrow batch,
+    output schema = input schema + `new_fields` (columns appended by
+    the kernel), reindexed so pandas->Arrow conversion can't be bitten
+    by column order."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType(list(df.schema.fields) + list(new_fields))
+    names = [f.name for f in schema.fields]
+
+    def run(batches):
+        for pdf in batches:
+            yield kernel(pdf).reindex(columns=names)
+
+    return df.mapInPandas(run, schema)
+
+
+def _stack(col) -> np.ndarray:
+    """Column of array values -> (n, dim) float64 matrix."""
+    return np.stack(col.to_numpy()).astype(np.float64, copy=False)
+
+
+def _assign_cells_broadcast(
+    df: DataFrame,
+    cents: list[list[float]],
+    vec_col: str,
+    out_col: str,
+    round_to: int | None,
+    sim_col: str | None = None,
+) -> DataFrame:
+    """Nearest-centroid argmax against a BROADCAST centroid matrix --
+    one Arrow-batched matmul per partition, zero shuffle, plan size
+    independent of n_cells (the large-n_cells twin of the literal
+    `_cell_sims` fold; same rounding + lowest-cell tie law). Optionally
+    also emits the winning cosine (`sim_col`, the semdedup_flags
+    cent_sim input)."""
+    from pyspark.sql.types import DoubleType, LongType, StructField
+
+    spark = df.sparkSession
+    C = np.asarray(cents, dtype=np.float64)
+    bc = spark.sparkContext.broadcast((C, np.sqrt((C * C).sum(axis=1))))
+
+    def kernel(pdf):
+        C, cn = bc.value
+        if not len(pdf):
+            pdf = pdf.assign(**{out_col: np.array([], dtype="int64")})
+            if sim_col is not None:
+                pdf = pdf.assign(**{sim_col: np.array([], dtype="f8")})
+            return pdf
+        V = _stack(pdf[vec_col])
+        vn = np.sqrt((V * V).sum(axis=1))
+        sims = (V @ C.T) / (vn[:, None] * cn[None, :])
+        if round_to is not None:
+            sims = np.round(sims, round_to)
+        best = sims.argmax(axis=1)  # first max == lowest cell on ties
+        pdf = pdf.assign(**{out_col: best.astype("int64")})
+        if sim_col is not None:
+            pdf = pdf.assign(
+                **{sim_col: sims[np.arange(len(best)), best]}
+            )
+        return pdf
+
+    fields = [StructField(out_col, LongType())]
+    if sim_col is not None:
+        fields.append(StructField(sim_col, DoubleType()))
+    return _with_appended(df, kernel, fields)
+
+
+def _top_cells_broadcast(
+    df: DataFrame,
+    cents: list[list[float]],
+    n_probe: int,
+    vec_col: str,
+    out_col: str,
+    round_to: int | None,
+) -> DataFrame:
+    """n_probe best cells per row against a BROADCAST centroid matrix:
+    each Arrow batch emits its rows repeated n_probe times with the
+    probed cell ids -- the large-n_cells twin of the literal sort+slice
+    (same (csim desc, cell asc) pick via a stable argsort)."""
+    from pyspark.sql.types import LongType, StructField
+
+    spark = df.sparkSession
+    n = min(n_probe, len(cents))
+    C = np.asarray(cents, dtype=np.float64)
+    bc = spark.sparkContext.broadcast((C, np.sqrt((C * C).sum(axis=1))))
+
+    def kernel(pdf):
+        C, cn = bc.value
+        if not len(pdf):
+            return pdf.assign(**{out_col: np.array([], dtype="int64")})
+        V = _stack(pdf[vec_col])
+        vn = np.sqrt((V * V).sum(axis=1))
+        sims = (V @ C.T) / (vn[:, None] * cn[None, :])
+        if round_to is not None:
+            sims = np.round(sims, round_to)
+        # stable argsort on -sims: ties keep ascending-cell order,
+        # matching the literal struct sort's (csim, -cell) law
+        picked = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+        rep = pdf.loc[pdf.index.repeat(n)].reset_index(drop=True)
+        return rep.assign(**{out_col: picked.reshape(-1).astype("int64")})
+
+    return _with_appended(df, kernel, [StructField(out_col, LongType())])
+
+
 def _cell_sims(vec: Column, cents: list[list[float]], round_to: int | None) -> Column:
     """array<struct<csim, neg_cell>> of similarities to a LITERAL
     centroid matrix -- a pure projection (codegen), the shuffle-free
@@ -157,10 +286,18 @@ def assign_cells(
     vec_col: str = "embedding",
     out_col: str = "cell",
     round_to: int | None = 6,
+    method: str = "auto",
 ) -> DataFrame:
-    """Nearest-centroid (max cosine) cell id as a zero-shuffle argmax
-    fold; `.explain()` shows no Exchange between the scan and the cell
-    column (PLANS.md)."""
+    """Nearest-centroid (max cosine) cell id, zero shuffle either way:
+    below LITERAL_CELL_LIMIT cells a literal argmax fold (`.explain()`
+    shows no Exchange between the scan and the cell column, PLANS.md);
+    above it a broadcast-matrix mapInPandas argmax whose plan size is
+    independent of n_cells (VERDICT r6 #2 -- parity of the two paths
+    pinned in tests/test_similarity.py)."""
+    if _resolve_method(method, len(cents)) == "broadcast":
+        return _assign_cells_broadcast(
+            _as_double(df, vec_col), cents, vec_col, out_col, round_to
+        )
     best = F.array_max(_cell_sims(F.col(vec_col), cents, round_to))
     return df.withColumn(out_col, (-best["neg_cell"]).cast("long"))
 
@@ -172,14 +309,22 @@ def top_cells(
     vec_col: str = "qvec",
     out_col: str = "cell",
     round_to: int | None = 6,
+    method: str = "auto",
 ) -> DataFrame:
     """n_probe best cells per row: sort the literal similarity array and
     slice its tail -- projection + n_probe-row explode, no window.
+    Above LITERAL_CELL_LIMIT cells: the broadcast-matrix kernel
+    (`_top_cells_broadcast`, same pick law, O(1) plan size).
 
     n_probe is clamped to len(cents): F.slice with a negative start
     whose magnitude exceeds the array length returns EMPTY (not the
     whole array), which would silently drop every query row (ADVICE
     r3); clamping restores probe-everything semantics."""
+    if _resolve_method(method, len(cents)) == "broadcast":
+        return _top_cells_broadcast(
+            _as_double(df, vec_col), cents, n_probe, vec_col, out_col,
+            round_to,
+        )
     n = min(n_probe, len(cents))
     arr = F.array_sort(_cell_sims(F.col(vec_col), cents, round_to))
     picked = F.slice(arr, -n, n)
@@ -194,6 +339,7 @@ def train_centroids(
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> list[list[float]]:
     """k-means centroid training (Lloyd iterations) for IVF, entirely in
     DataFrame algebra: init = deterministic corpus sample (lowest ids),
@@ -223,7 +369,9 @@ def train_centroids(
     dim = len(cents[0])
     for _ in range(n_iter):
         # raw csim (no rounding): matches the historical training path
-        assigned = assign_cells(corpus, cents, vec_col, round_to=None)
+        assigned = assign_cells(
+            corpus, cents, vec_col, round_to=None, method=method
+        )
         means = (
             assigned.groupBy("cell")
             .agg(*[F.avg(F.col(vec_col)[i]).alias(f"m{i}") for i in range(dim)])
@@ -244,6 +392,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: str | list[list[float]] = "sample",
+    method: str = "auto",
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into cells, assign each
     vector to its best cell, then search each query only in its n_probe
@@ -267,7 +416,8 @@ def ivf_topk(
     corpus = _as_double(embeddings, vec_col)
     if centroids == "kmeans":
         centroids = train_centroids(
-            embeddings, n_cells, id_col=id_col, vec_col=vec_col
+            embeddings, n_cells, id_col=id_col, vec_col=vec_col,
+            method=method,
         )
     if isinstance(centroids, str):  # 'sample': lowest n_cells ids
         centroids = [
@@ -276,14 +426,16 @@ def ivf_topk(
         ]
     cents = [list(c) for c in centroids]
     # assign corpus vectors to their single best cell (pure projection)
-    assigned = assign_cells(corpus, cents, vec_col).select(
+    assigned = assign_cells(corpus, cents, vec_col, method=method).select(
         id_col, vec_col, "cell"
     )
     # each query probes its n_probe best cells (projection + explode)
     qs = _as_double(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    probes = top_cells(qs, cents, n_probe).select("query_id", "qvec", "cell")
+    probes = top_cells(qs, cents, n_probe, method=method).select(
+        "query_id", "qvec", "cell"
+    )
     scored = (
         assigned.join(probes, on="cell")
         .where(F.col(id_col) != F.col("query_id"))
@@ -449,6 +601,7 @@ def semdedup_flags(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cache_registry: list | None = None,
+    method: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication" -- public methodology):
@@ -465,12 +618,18 @@ def semdedup_flags(
     Scale shape (100 TB): the quadratic pairing is confined to each
     k-means cell (cells are bounded by construction when n_cells scales
     with the corpus -- the paper uses ~50k clusters for LAION); the
-    cell assignment itself is the zero-shuffle literal-argmax fold
-    (`assign_cells`), so the only shuffles are the within-cell pair
-    join (keyed by cell) and the connected-components rounds over the
-    similar-pair edge list, which is small (near-dups are rare by
-    volume). Pairs travel as bare id pairs; vectors are re-joined once
-    per side (the bucketed_neardup discipline).
+    cell assignment is zero-shuffle on both paths (literal-argmax fold
+    below LITERAL_CELL_LIMIT cells, broadcast-matrix mapInPandas above
+    -- the paper-scale cell counts that motivated VERDICT r6 #2), so
+    the only shuffles are the within-cell pair join (keyed by cell) and
+    the connected-components rounds over the similar-pair edge list,
+    which is small (near-dups are rare by volume). The pair join
+    deliberately CARRIES the vectors through the cell key (unlike
+    bucketed_neardup's bare-id-pairs-then-rejoin): within-cell
+    all-pairs means every candidate row consumes both vectors exactly
+    once, so a post-dedup rejoin would add two shuffles to save none
+    (r6 nit: the previous docstring claimed the rejoin shape; the code
+    was right, the claim was wrong).
 
     Cache lifecycle (the connected_components contract): the returned
     flags relation is persisted and materialized through the internal
@@ -483,14 +642,19 @@ def semdedup_flags(
     from .dedup import connected_components
 
     e = _as_double(embeddings, vec_col)
-    sims = _cell_sims(F.col(vec_col), cents, round_to=6)
-    best = F.array_max(sims)
-    assigned = e.select(
-        id_col,
-        vec_col,
-        (-best["neg_cell"]).cast("long").alias("cell"),
-        best["csim"].alias("cent_sim"),
-    )
+    if _resolve_method(method, len(cents)) == "broadcast":
+        assigned = _assign_cells_broadcast(
+            e, cents, vec_col, "cell", round_to=6, sim_col="cent_sim"
+        ).select(id_col, vec_col, "cell", "cent_sim")
+    else:
+        sims = _cell_sims(F.col(vec_col), cents, round_to=6)
+        best = F.array_max(sims)
+        assigned = e.select(
+            id_col,
+            vec_col,
+            (-best["neg_cell"]).cast("long").alias("cell"),
+            best["csim"].alias("cent_sim"),
+        )
     # consumed by the pair join (both sides) and the final output row
     # set -- pin it (PLANS.md iterative/multi-consumer rule)
     assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
@@ -552,13 +716,15 @@ def semdedup_apply(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cache_registry: list | None = None,
+    method: str = "auto",
 ) -> DataFrame:
     """Corpus-shrink step for SemDeDup: keep only group representatives.
     Hash semi-join on id (the keep set is a large fraction of the
     corpus -- never broadcast). The persisted flags relation backs the
     returned plan; `cache_registry` is the unpersist handle."""
     flags = semdedup_flags(
-        embeddings, cents, threshold, id_col, vec_col, cache_registry
+        embeddings, cents, threshold, id_col, vec_col, cache_registry,
+        method=method,
     )
     keep = flags.where(F.col("keep")).select(id_col)
     return embeddings.join(keep, id_col, "left_semi")
@@ -614,6 +780,118 @@ def _l2_code(sub: Column, codebook: list[list[float]]) -> Column:
     return (-best["nc"]).cast("int")
 
 
+def _books_np(codebooks: list[list[list[float]]]) -> list[np.ndarray]:
+    return [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+
+
+def _pq_codes_broadcast(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    code_cols: list[str],
+) -> DataFrame:
+    """Per-subspace argmin-L2 codes against BROADCAST codebooks -- the
+    large-k twin of the literal `_l2_code` fold (same lowest-code tie
+    law via numpy argmin-first). Emits one int column per subspace so
+    both pq_train (needs c0..c{m-1} columns) and pq_encode (packs them
+    into an array) share the kernel. Plan size O(1) in m*k."""
+    from pyspark.sql.types import IntegerType, StructField
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(_books_np(codebooks))
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    def kernel(pdf):
+        B = bc.value
+        if not len(pdf):
+            return pdf.assign(
+                **{c: np.array([], dtype="int32") for c in code_cols}
+            )
+        V = _stack(pdf[vec_col])
+        out = {}
+        for j in range(m):
+            S = V[:, j * dsub:(j + 1) * dsub]
+            # ||s-c||^2 via the stable direct form (n, k, dsub) is fine
+            # for bounded Arrow batches; argmin first-hit == lowest code
+            d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            out[code_cols[j]] = d2.argmin(axis=1).astype("int32")
+        return pdf.assign(**out)
+
+    return _with_appended(
+        df, kernel, [StructField(c, IntegerType()) for c in code_cols]
+    )
+
+
+def _residual_broadcast(
+    df: DataFrame,
+    cents: list[list[float]],
+    cell_col: str,
+    vec_col: str,
+    out_col: str,
+) -> DataFrame:
+    """vec - centroid[cell] against a BROADCAST centroid matrix (the
+    large-n_cells twin of the literal `_residual` element_at)."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(cents, dtype=np.float64))
+
+    def kernel(pdf):
+        C = bc.value
+        if not len(pdf):
+            return pdf.assign(**{out_col: pdf[vec_col]})
+        V = _stack(pdf[vec_col])
+        R = V - C[pdf[cell_col].to_numpy().astype("int64")]
+        return pdf.assign(**{out_col: list(R)})
+
+    return _with_appended(
+        df, kernel, [StructField(out_col, ArrayType(DoubleType()))]
+    )
+
+
+def _adc_score_broadcast(
+    joined: DataFrame,
+    codebooks: list[list[list[float]]],
+    qvec_col: str,
+    codes_col: str,
+    neighbor_col: str,
+    out_col: str,
+    round_to: int,
+) -> DataFrame:
+    """Asymmetric-distance computation against BROADCAST codebooks:
+    per Arrow batch, gather each neighbor's code-selected centroids and
+    accumulate the per-subspace L2 terms with one vectorized gather per
+    subspace -- the large-m*k twin of the literal element_at fold.
+    Input: the probe join (query_id, neighbor, qvec/qresidual, codes);
+    output: (query_id, neighbor, adc_dist)."""
+    from pyspark.sql.types import DoubleType, StructField
+
+    spark = joined.sparkSession
+    bc = spark.sparkContext.broadcast(_books_np(codebooks))
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    def kernel(pdf):
+        B = bc.value
+        if not len(pdf):
+            return pdf.assign(**{out_col: np.array([], dtype="f8")})
+        Q = _stack(pdf[qvec_col])
+        Cd = np.stack(pdf[codes_col].to_numpy()).astype("int64")
+        acc = np.zeros(len(pdf), dtype=np.float64)
+        for j in range(m):
+            diff = Q[:, j * dsub:(j + 1) * dsub] - B[j][Cd[:, j]]
+            acc += (diff * diff).sum(axis=1)
+        return pdf.assign(**{out_col: np.round(acc, round_to)})
+
+    scored = _with_appended(
+        joined.select("query_id", neighbor_col, qvec_col, codes_col),
+        kernel,
+        [StructField(out_col, DoubleType())],
+    )
+    return scored.select("query_id", neighbor_col, out_col)
+
+
 def pq_train(
     embeddings: DataFrame,
     m: int = 4,
@@ -621,6 +899,7 @@ def pq_train(
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> list[list[list[float]]]:
     """Product-quantization codebook training (Jegou et al. 2011,
     "Product Quantization for Nearest Neighbor Search"): split each
@@ -655,14 +934,21 @@ def pq_train(
             for j in range(m)
         ]
         vec = F.col(vec_col)
+        meth = _resolve_method(method, m * k)
+        code_cols = [f"c{j}" for j in range(m)]
         for _ in range(n_iter):
-            assigned = corpus.select(
-                vec_col,
-                *[
-                    _l2_code(_sub(vec, j, dsub), books[j]).alias(f"c{j}")
-                    for j in range(m)
-                ],
-            )
+            if meth == "broadcast":
+                assigned = _pq_codes_broadcast(
+                    corpus.select(vec_col), books, vec_col, code_cols
+                )
+            else:
+                assigned = corpus.select(
+                    vec_col,
+                    *[
+                        _l2_code(_sub(vec, j, dsub), books[j]).alias(f"c{j}")
+                        for j in range(m)
+                    ],
+                )
             pairs = assigned.select(
                 F.explode(F.array(*[
                     F.struct(
@@ -696,16 +982,27 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "codes",
+    method: str = "auto",
 ) -> DataFrame:
     """(id, codes): each vector compressed to m small ints -- the PQ
-    index relation. Pure projection over literal codebooks (zero
-    shuffle, codegen); at m=8 over 64-dim doubles the index is ~16x
-    fewer bytes than the raw vectors, which is the entire scan/shuffle
-    story of PQ at corpus scale."""
+    index relation. Below LITERAL_CELL_LIMIT codebook entries (m*k), a
+    pure projection over literal codebooks (zero shuffle); above it,
+    the broadcast-codebook mapInPandas kernel (zero exchange either
+    way, parity pinned in tests). At m=8 over 64-dim doubles the index
+    is ~16x fewer bytes than the raw vectors, which is the entire
+    scan/shuffle story of PQ at corpus scale."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     vec = F.col(vec_col)
     corpus = _as_double(embeddings, vec_col)
+    if _resolve_method(method, m * len(codebooks[0])) == "broadcast":
+        code_cols = [f"__c{j}" for j in range(m)]
+        coded = _pq_codes_broadcast(
+            corpus.select(id_col, vec_col), codebooks, vec_col, code_cols
+        )
+        return coded.select(
+            id_col, F.array(*code_cols).alias(out_col)
+        )
     return corpus.select(
         id_col,
         F.array(*[
@@ -722,6 +1019,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    method: str = "auto",
 ) -> DataFrame:
     """Approximate top-k by asymmetric-distance computation (ADC):
     corpus rows carry ONLY their PQ codes; each query's exact
@@ -736,41 +1034,51 @@ def pq_topk(
     the corpus side of the scan/shuffle is the m-int code relation
     instead of the dim-double vectors -- the memory/bandwidth win that
     makes exhaustive ADC viable where exhaustive exact is not
-    (Jegou et al. 2011 sec. IV). Compute per pair stays O(dim) in this
-    column-algebra form; a per-query LUT (the paper's O(m) trick) is a
-    batched-numpy variant left to a mapInPandas specialization if
-    profiling ever demands it."""
+    (Jegou et al. 2011 sec. IV). Below LITERAL_CELL_LIMIT codebook
+    entries the ADC fold rides as literal column algebra; above it the
+    broadcast-codebook mapInPandas kernel scores each pair with one
+    vectorized gather per subspace (same join topology, O(1) plan
+    size -- VERDICT r6 #2)."""
     from pyspark.sql import Window
 
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+    meth = _resolve_method(method, m * len(codebooks[0]))
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col,
+                      method=meth)
     qs = _as_double(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    books_lit = [
-        F.array(*[_lit_vec(c) for c in codebooks[j]]) for j in range(m)
-    ]
-
-    def d2_j(j):
-        cent = F.element_at(books_lit[j], F.col("codes").getItem(j) + 1)
-        diff2 = F.zip_with(
-            _sub(F.col("qvec"), j, dsub), cent,
-            lambda a, b: (a - b) * (a - b),
-        )
-        return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
-
-    scored = (
+    joined = (
         codes.crossJoin(F.broadcast(qs))
         .where(F.col(id_col) != F.col("query_id"))
-        .select(
+        .withColumn("neighbor_id", F.col(id_col))
+    )
+    if meth == "broadcast":
+        scored = _adc_score_broadcast(
+            joined, codebooks, "qvec", "codes", "neighbor_id",
+            "adc_dist", round_to,
+        )
+    else:
+        books_lit = [
+            F.array(*[_lit_vec(c) for c in codebooks[j]]) for j in range(m)
+        ]
+
+        def d2_j(j):
+            cent = F.element_at(books_lit[j], F.col("codes").getItem(j) + 1)
+            diff2 = F.zip_with(
+                _sub(F.col("qvec"), j, dsub), cent,
+                lambda a, b: (a - b) * (a - b),
+            )
+            return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+
+        scored = joined.select(
             "query_id",
-            F.col(id_col).alias("neighbor_id"),
+            "neighbor_id",
             F.round(sum(d2_j(j) for j in range(m)), round_to).alias(
                 "adc_dist"
             ),
         )
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
     )
@@ -791,6 +1099,26 @@ def _residual(vec: Column, cell: Column, cents: list[list[float]]) -> Column:
     )
 
 
+def _residual_rel(
+    assigned: DataFrame,
+    cents: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    method: str,
+) -> DataFrame:
+    """(id, cell, __r): per-vector residual against its cell centroid,
+    literal element_at below LITERAL_CELL_LIMIT cells, broadcast-matrix
+    kernel above (VERDICT r6 #2)."""
+    if _resolve_method(method, len(cents)) == "broadcast":
+        return _residual_broadcast(
+            assigned, cents, "cell", vec_col, "__r"
+        ).select(id_col, "cell", "__r")
+    return assigned.select(
+        id_col, "cell",
+        _residual(F.col(vec_col), F.col("cell"), cents).alias("__r"),
+    )
+
+
 def ivfpq_index(
     embeddings: DataFrame,
     n_cells: int = 8,
@@ -798,6 +1126,7 @@ def ivfpq_index(
     k_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
     """Train the IVF-PQ index parameters once: coarse centroids plus
     PQ codebooks over the per-cell residuals. Returns (centroids,
@@ -805,16 +1134,15 @@ def ivfpq_index(
     cost amortized over every query batch (the bench times it
     separately from the query path for exactly this reason)."""
     cents = train_centroids(
-        embeddings, n_cells, id_col=id_col, vec_col=vec_col
+        embeddings, n_cells, id_col=id_col, vec_col=vec_col,
+        method=method,
     )
     assigned = assign_cells(
-        _as_double(embeddings, vec_col), cents, vec_col
+        _as_double(embeddings, vec_col), cents, vec_col, method=method
     ).select(id_col, vec_col, "cell")
-    resid = assigned.select(
-        id_col, "cell",
-        _residual(F.col(vec_col), F.col("cell"), cents).alias("__r"),
-    )
-    books = pq_train(resid, m=m, k=k_codes, id_col=id_col, vec_col="__r")
+    resid = _residual_rel(assigned, cents, id_col, vec_col, method)
+    books = pq_train(resid, m=m, k=k_codes, id_col=id_col, vec_col="__r",
+                     method=method)
     return cents, books
 
 
@@ -831,6 +1159,7 @@ def ivfpq_topk(
     centroids: str | list[list[float]] = "kmeans",
     codebooks: list[list[list[float]]] | None = None,
     round_to: int = 6,
+    method: str = "auto",
 ) -> DataFrame:
     """IVF-PQ: the composed ANN scale path (Jegou et al. 2011 sec. V,
     the FAISS `IVFx,PQy` shape). The corpus is coarse-quantized into
@@ -856,63 +1185,79 @@ def ivfpq_topk(
     corpus = _as_double(embeddings, vec_col)
     if centroids == "kmeans" and codebooks is None:
         centroids, codebooks = ivfpq_index(
-            embeddings, n_cells, m, k_codes, id_col, vec_col
+            embeddings, n_cells, m, k_codes, id_col, vec_col,
+            method=method,
         )
     elif centroids == "kmeans":
         centroids = train_centroids(
-            embeddings, n_cells, id_col=id_col, vec_col=vec_col
+            embeddings, n_cells, id_col=id_col, vec_col=vec_col,
+            method=method,
         )
     cents = [list(c) for c in centroids]
-    assigned = assign_cells(corpus, cents, vec_col).select(
+    cell_meth = _resolve_method(method, len(cents))
+    assigned = assign_cells(corpus, cents, vec_col, method=method).select(
         id_col, vec_col, "cell"
     )
-    resid = assigned.select(
-        id_col, "cell",
-        _residual(F.col(vec_col), F.col("cell"), cents).alias("__r"),
-    )
+    resid = _residual_rel(assigned, cents, id_col, vec_col, method)
     if codebooks is None:
         codebooks = pq_train(
-            resid, m=m, k=k_codes, id_col=id_col, vec_col="__r"
+            resid, m=m, k=k_codes, id_col=id_col, vec_col="__r",
+            method=method,
         )
     mm = len(codebooks)
     dsub = len(codebooks[0][0])
-    codes = pq_encode(resid, codebooks, id_col, "__r").join(
+    book_meth = _resolve_method(method, mm * len(codebooks[0]))
+    codes = pq_encode(resid, codebooks, id_col, "__r",
+                      method=book_meth).join(
         resid.select(id_col, "cell"), id_col
     )
     qs = _as_double(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    probes = top_cells(qs, cents, n_probe).select(
+    probes = top_cells(qs, cents, n_probe, method=method).select(
         "query_id", "qvec", "cell"
     )
     # query residual against the PROBED cell's centroid
-    probes = probes.select(
-        "query_id", "cell",
-        _residual(F.col("qvec"), F.col("cell"), cents).alias("__qr"),
-    )
-    books_lit = [
-        F.array(*[_lit_vec(c) for c in codebooks[j]]) for j in range(mm)
-    ]
-
-    def d2_j(j):
-        cent = F.element_at(books_lit[j], F.col("codes").getItem(j) + 1)
-        diff2 = F.zip_with(
-            _sub(F.col("__qr"), j, dsub), cent,
-            lambda a, b: (a - b) * (a - b),
+    if cell_meth == "broadcast":
+        probes = _residual_broadcast(
+            probes, cents, "cell", "qvec", "__qr"
+        ).select("query_id", "cell", "__qr")
+    else:
+        probes = probes.select(
+            "query_id", "cell",
+            _residual(F.col("qvec"), F.col("cell"), cents).alias("__qr"),
         )
-        return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
-
-    scored = (
+    joined = (
         codes.join(probes, on="cell")
         .where(F.col(id_col) != F.col("query_id"))
-        .select(
+        .withColumn("neighbor_id", F.col(id_col))
+    )
+    if book_meth == "broadcast":
+        scored = _adc_score_broadcast(
+            joined, codebooks, "__qr", "codes", "neighbor_id",
+            "adc_dist", round_to,
+        )
+    else:
+        books_lit = [
+            F.array(*[_lit_vec(c) for c in codebooks[j]])
+            for j in range(mm)
+        ]
+
+        def d2_j(j):
+            cent = F.element_at(books_lit[j], F.col("codes").getItem(j) + 1)
+            diff2 = F.zip_with(
+                _sub(F.col("__qr"), j, dsub), cent,
+                lambda a, b: (a - b) * (a - b),
+            )
+            return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+
+        scored = joined.select(
             "query_id",
-            F.col(id_col).alias("neighbor_id"),
+            "neighbor_id",
             F.round(sum(d2_j(j) for j in range(mm)), round_to).alias(
                 "adc_dist"
             ),
         )
-    )
     # a vector reachable through several probed cells scores once per
     # its OWN cell only (codes carries one cell per id), so no dedup
     # is needed; rank ascending by distance, id tie-break

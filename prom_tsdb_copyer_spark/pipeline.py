@@ -122,19 +122,8 @@ def build_pipeline(spark, args) -> tuple[DataFrame, dict, list]:
     `cache_registry` handles and dropped as soon as the consuming
     stage's count has materialized. `caches` holds whatever is still
     pinned (exactly the final relation); `run_pipeline` unpersists it
-    after the write."""
-    from .operators.dedup import (
-        decontaminate_apply,
-        minhash_dedup_pairs,
-        neardup_apply,
-    )
-    from .operators.text import (
-        chunk_documents,
-        gopher_quality_flags,
-        line_dedup,
-        scrub_pii,
-    )
-
+    after the write. A stage that THROWS sweeps every still-pinned
+    relation before re-raising (ADVICE r6)."""
     stages = [s.strip() for s in args.stages.split(",") if s.strip()]
     unknown = [s for s in stages if s not in STAGES]
     if unknown:
@@ -150,13 +139,46 @@ def build_pipeline(spark, args) -> tuple[DataFrame, dict, list]:
 
     def pin(df: DataFrame, name: str | None = None) -> DataFrame:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        n = df.count()  # materializes THROUGH the parent's cache
+        try:
+            n = df.count()  # materializes THROUGH the parent's cache
+        except Exception:
+            df.unpersist()  # failed stage: don't leak the fresh pin
+            raise
         if name is not None:
             report["stages"][name] = n
         while caches:  # now safe to drop the parent stage
             caches.pop().unpersist()
         caches.append(df)
         return df
+
+    try:
+        return _assemble_stages(
+            spark, args, stages, docs, report, caches, pin
+        )
+    except Exception:
+        # a throwing stage (or pack_shards) would otherwise leave the
+        # surviving parent pin (and any operator-internal registries
+        # already handed back) pinned until driver GC -- run_pipeline's
+        # finally only covers the success path (ADVICE r6). Sweep and
+        # re-raise; the finally-sweep discipline of
+        # connected_components applied to the driver itself.
+        for c in caches:
+            c.unpersist()
+        raise
+
+
+def _assemble_stages(spark, args, stages, docs, report, caches, pin):
+    from .operators.dedup import (
+        decontaminate_apply,
+        minhash_dedup_pairs,
+        neardup_apply,
+    )
+    from .operators.text import (
+        chunk_documents,
+        gopher_quality_flags,
+        line_dedup,
+        scrub_pii,
+    )
 
     if "scrub" in stages:
         docs = pin(
@@ -175,10 +197,14 @@ def build_pipeline(spark, args) -> tuple[DataFrame, dict, list]:
     if "dedup" in stages:
         from .operators.dedup import dedup_exact
 
+        # keep sets are survivors, i.e. nearly the whole corpus --
+        # NEVER broadcast them (ADVICE r6: a forced broadcast here is a
+        # driver/executor OOM at scale); the planner's shuffle hash
+        # semi-join is the right shape, same as semdedup_apply /
+        # dup_span_apply. Applies to the quality and lm-quality keep
+        # sets below for the same reason.
         keep = dedup_exact(docs).select(F.col("keep_id").alias("doc_id"))
-        docs = pin(
-            docs.join(F.broadcast(keep), "doc_id", "left_semi"), "dedup"
-        )
+        docs = pin(docs.join(keep, "doc_id", "left_semi"), "dedup")
     if "span-scrub" in stages:
         from .operators.dedup import dup_span_scrub
 
@@ -190,14 +216,17 @@ def build_pipeline(spark, args) -> tuple[DataFrame, dict, list]:
         )
     if "neardup" in stages:
         side: list[DataFrame] = []
-        pairs = minhash_dedup_pairs(
-            docs, threshold=args.neardup_threshold, cache_registry=side
-        )
-        docs = pin(
-            neardup_apply(docs, pairs, cache_registry=side), "neardup"
-        )
-        for c in side:  # shingle sets + component labels, consumed now
-            c.unpersist()
+        try:
+            pairs = minhash_dedup_pairs(
+                docs, threshold=args.neardup_threshold,
+                cache_registry=side,
+            )
+            docs = pin(
+                neardup_apply(docs, pairs, cache_registry=side), "neardup"
+            )
+        finally:  # shingle sets + component labels, consumed by the pin
+            for c in side:
+                c.unpersist()
     if "decontaminate" in stages:
         evals = spark.read.parquet(args.eval_set)
         docs = pin(decontaminate_apply(docs, evals), "decontaminate")
@@ -207,9 +236,7 @@ def build_pipeline(spark, args) -> tuple[DataFrame, dict, list]:
             F.col("ok_word_count") & F.col("ok_mean_word_len")
             & F.col("ok_symbol_ratio") & F.col("ok_alpha_words")
         ).select("doc_id")
-        docs = pin(
-            docs.join(F.broadcast(ok), "doc_id", "left_semi"), "quality"
-        )
+        docs = pin(docs.join(ok, "doc_id", "left_semi"), "quality")
     if "lm-quality" in stages:
         from .operators.text import unigram_logprob
 
@@ -222,8 +249,7 @@ def build_pipeline(spark, args) -> tuple[DataFrame, dict, list]:
             >= F.lit(int(args.lm_min_mills)) * F.col("n_tokens")
         ).select("doc_id")
         docs = pin(
-            docs.join(F.broadcast(ok), "doc_id", "left_semi"),
-            "lm-quality",
+            docs.join(ok, "doc_id", "left_semi"), "lm-quality"
         )
 
     out = docs

@@ -480,14 +480,26 @@ def streaming_neardup(
     sets_schema = f"{id_col} long, _set array<long>"
 
     def _read_or_empty(path: str, ddl: str) -> DataFrame:
-        import glob
-        import os
+        # filesystem-agnostic first-batch probe (ADVICE r6: the old
+        # os.path.isdir + glob probe was local-FS only -- on hdfs:// /
+        # s3a:// it silently returned an EMPTY index every batch,
+        # dropping new-old pairs with no error). Reading with an
+        # explicit schema succeeds on an existing-but-empty directory
+        # (epoch markers live under `_epochs`/dot-prefixed staging,
+        # both invisible to the reader); only a genuinely missing path
+        # raises PATH_NOT_FOUND, which is the not-yet-created index.
+        # Any OTHER AnalysisException (corrupt files, wrong types)
+        # propagates -- fail loudly, never fall back to empty.
+        from pyspark.errors import AnalysisException
 
-        if os.path.isdir(path) and glob.glob(
-            os.path.join(path, "**", "*.parquet"), recursive=True
-        ):
-            return spark.read.schema(ddl).parquet(path)
-        return spark.createDataFrame([], ddl)
+        try:
+            df = spark.read.schema(ddl).parquet(path)
+            df.schema  # force analysis so PATH_NOT_FOUND surfaces here
+            return df
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e):
+                return spark.createDataFrame([], ddl)
+            raise
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         index_bands = _read_or_empty(index_dir + "/bands", bands_schema)

@@ -200,3 +200,33 @@ def test_pipeline_span_scrub_and_lm_quality_stages(spark, tmp_path):
     # the duplicated phrase is gone from every survivor, filler intact
     assert cleaned.where(cleaned.text.contains("dup0")).count() == 0
     assert cleaned.where(cleaned.text.contains("w3_tail")).count() == 1
+
+
+def test_build_pipeline_sweeps_caches_on_stage_failure(spark, tmp_path):
+    """ADVICE r6: a throwing stage must not leave the surviving parent
+    pin (or the mid-pin df) cached until driver GC. Force a failure
+    AFTER the scrub stage has pinned (an eval set missing its text
+    column breaks the decontaminate stage at analysis) and assert the
+    session's cache manager is swept clean."""
+    import pytest
+
+    from prom_tsdb_copyer_spark.pipeline import build_pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "more text here")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    evil = spark.createDataFrame([(1,)], "not_text long")
+    ev = str(tmp_path / "ev")
+    evil.write.parquet(ev)
+
+    spark.catalog.clearCache()  # isolate the assertion
+    args = build_parser().parse_args([
+        "--source", src, "--target", str(tmp_path / "out"),
+        "--stages", "scrub,decontaminate", "--eval-set", ev,
+    ])
+    with pytest.raises(Exception):
+        build_pipeline(spark, args)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

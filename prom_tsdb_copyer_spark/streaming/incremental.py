@@ -541,3 +541,83 @@ def streaming_neardup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_neardup_index(
+    spark: SparkSession,
+    index_dir: str,
+    retired_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    target_files: int = 1,
+    min_files_to_compact: int = 2,
+) -> dict[str, int]:
+    """Periodic maintenance for `streaming_neardup`'s append-only index
+    (VERDICT r6 #4: without it the bands/sets relations grow one small
+    file per epoch forever -- probe RESULTS stay correct but file count
+    and the verify rejoin's listing cost grow monotonically). Rewrites
+    each leg (bands, sets) down to `target_files` well-sized files and
+    optionally expires `retired_ids` (docs deleted from the corpus --
+    the M2 file-merge + M4 source-retention analog, exactly what
+    operators/compaction.py + operators/retention.py do for the tier
+    tables; at cluster scale both legs are Iceberg tables and this is
+    `rewrite_data_files` + a DELETE).
+
+    Correctness contract (pinned in tests/test_streaming.py): probes
+    via `incremental_neardup_pairs` are INVARIANT under compaction
+    (same rows, fewer files), and the epoch-marker dir (`_epochs`) is
+    carried across the swap so an at-least-once replay of an
+    already-committed epoch stays a no-op afterwards.
+
+    Sequencing contract (M3 analog): run BETWEEN stream runs, never
+    concurrent with an active foreachBatch -- same single-writer rule
+    as tier compaction after ResumableRollup. Crash hygiene mirrors
+    compact_partitions: stage dot-prefixed, swap via rename, restore a
+    leftover backup whose live dir vanished."""
+    import shutil
+    from pathlib import Path
+
+    root = Path(index_dir)
+    # recover an interrupted previous pass (same discipline as
+    # operators/compaction.py): stale staging is garbage; a leftover
+    # backup whose live leg vanished means the swap half-finished
+    for stale in sorted(root.glob(".compact-tmp.*")):
+        shutil.rmtree(stale)
+    for backup in sorted(root.glob(".old.*")):
+        live = root / backup.name.removeprefix(".old.")
+        if not live.exists():
+            backup.rename(live)
+        else:
+            shutil.rmtree(backup)
+
+    done: dict[str, int] = {}
+    for leg in ("bands", "sets"):
+        leg_dir = root / leg
+        if not leg_dir.is_dir():
+            continue
+        files = sorted(leg_dir.rglob("*.parquet"))
+        if len(files) < min_files_to_compact and retired_ids is None:
+            continue
+        df = spark.read.parquet(str(leg_dir))
+        if retired_ids is not None:
+            # retired set is small relative to the corpus (a deletion
+            # batch): broadcast anti-join, the retention.py shape
+            df = df.join(
+                F.broadcast(retired_ids.select(id_col).distinct()),
+                id_col,
+                "left_anti",
+            )
+        staging = root / f".compact-tmp.{leg}"
+        df.coalesce(target_files).write.mode("overwrite").parquet(
+            str(staging)
+        )
+        # the commit markers must survive the swap: replayed epochs
+        # (at-least-once foreachBatch) still no-op against them
+        epochs = leg_dir / "_epochs"
+        if epochs.is_dir():
+            shutil.copytree(epochs, staging / "_epochs")
+        backup = root / f".old.{leg}"
+        leg_dir.rename(backup)
+        staging.rename(leg_dir)
+        shutil.rmtree(backup)
+        done[leg] = len(files)
+    return done

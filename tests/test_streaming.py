@@ -426,3 +426,78 @@ def test_streaming_neardup_matches_batch_pipeline(spark, tmp_path):
     idx_ids = [r["doc_id"]
                for r in spark.read.parquet(idx + "/sets").collect()]
     assert sorted(idx_ids) == sorted(i for i, _ in rows)
+
+
+def test_compact_neardup_index_invariance_and_retirement(spark, tmp_path):
+    """Index lifecycle (VERDICT r6 #4): compaction rewrites the
+    append-only bands/sets legs down to one file each, probe results
+    are INVARIANT, epoch markers survive the swap (a replayed epoch
+    stays a no-op), and a retired-ids pass expires a deleted doc from
+    the index so later probes stop pairing against it."""
+    from prom_tsdb_copyer_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        neardup_index,
+    )
+    from prom_tsdb_copyer_spark.streaming.incremental import (
+        compact_neardup_index,
+        write_epoch_idempotent,
+    )
+
+    texts = {
+        i: " ".join(f"w{(i * 7 + j * 3) % 40}" for j in range(60))
+        for i in range(12)
+    }
+    idx = str(tmp_path / "index")
+    # two ingest epochs, indexed exactly as streaming_neardup does
+    for epoch, ids in ((0, range(0, 6)), (1, range(6, 12))):
+        part = spark.createDataFrame(
+            [(i, texts[i]) for i in ids], "doc_id long, text string"
+        )
+        bands, sets = neardup_index(part)
+        write_epoch_idempotent(bands, idx + "/bands", epoch)
+        write_epoch_idempotent(sets, idx + "/sets", epoch)
+
+    batch = spark.createDataFrame(
+        [(100 + i, texts[i]) for i in range(3)],  # dups of docs 0..2
+        "doc_id long, text string",
+    )
+
+    def probe():
+        pairs = incremental_neardup_pairs(
+            batch,
+            spark.read.parquet(idx + "/bands"),
+            spark.read.parquet(idx + "/sets"),
+            threshold=0.5,
+            persist=False,
+        )
+        return {(r["a"], r["b"]) for r in pairs.collect()}
+
+    from pathlib import Path
+
+    before = probe()
+    assert {(i, 100 + i) for i in range(3)} <= before
+    files_before = len(list(Path(idx, "bands").rglob("*.parquet")))
+    assert files_before >= 2  # two epochs of small files
+
+    stats = compact_neardup_index(spark, idx)
+    assert stats["bands"] == files_before
+    assert len(list(Path(idx, "bands").rglob("*.parquet"))) == 1
+    assert len(list(Path(idx, "sets").rglob("*.parquet"))) == 1
+    assert probe() == before  # probe-invariant under compaction
+
+    # markers survived: replaying a committed epoch is still a no-op
+    n_rows = spark.read.parquet(idx + "/bands").count()
+    replay = spark.createDataFrame(
+        [(999, 0, "bogus")], "doc_id long, band int, sig string"
+    )
+    write_epoch_idempotent(replay, idx + "/bands", 0)
+    assert spark.read.parquet(idx + "/bands").count() == n_rows
+
+    # retirement: doc 0 deleted from the corpus -> its index rows go
+    retired = spark.createDataFrame([(0,)], "doc_id long")
+    compact_neardup_index(spark, idx, retired_ids=retired)
+    assert 0 not in {
+        r["doc_id"] for r in spark.read.parquet(idx + "/sets").collect()
+    }
+    after = probe()
+    assert after == {p for p in before if 0 not in p}

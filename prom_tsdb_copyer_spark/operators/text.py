@@ -466,6 +466,50 @@ def resample_mixture(
     return docs.where(frac.isNotNull() & (u < frac))
 
 
+def cap_per_group(
+    docs: DataFrame,
+    max_docs: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    seed: int | None = None,
+) -> DataFrame:
+    """Per-group document cap: keep at most `max_docs` docs per `by`
+    group -- the RefinedWeb/C4-style per-domain (here per-source) cap
+    that stops one giant crawl host from dominating the mixture, the
+    hard-limit complement of `resample_mixture`'s proportional
+    targets.
+
+    Pick rule: deterministic. With `seed` set, each doc ranks by
+    `xxhash64(seed, id)` (id tie-break) so the kept subset is an
+    unbiased pseudo-random sample of the group, reproducible across
+    runs/partitionings (the resample_mixture idiom); with seed=None,
+    the lowest-id docs win (the stable-archival convention). Either
+    way a re-run keeps byte-identical rows.
+
+    Scale shape: ONE shuffle (the row_number window partitioned by the
+    group key). Hot groups are the point of the operator -- exactly
+    the keys a crawl skews on -- so this is a documented AQE-skew
+    window, not a collect_list (whose per-group state is unbounded on
+    the hottest domain; the window sorts-and-spills instead). The
+    output filter keeps `max_docs` rows per reducer stream, and
+    nothing else moves."""
+    if max_docs < 1:
+        raise ValueError(f"max_docs must be >= 1, got {max_docs}")
+    if seed is not None:
+        rank_key = [
+            F.xxhash64(F.lit(int(seed)), F.col(id_col)).asc(),
+            F.col(id_col).asc(),
+        ]
+    else:
+        rank_key = [F.col(id_col).asc()]
+    w = Window.partitionBy(by).orderBy(*rank_key)
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_docs)
+        .drop("__rn")
+    )
+
+
 def unigram_lm(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

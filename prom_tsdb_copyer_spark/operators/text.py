@@ -466,6 +466,165 @@ def resample_mixture(
     return docs.where(frac.isNotNull() & (u < frac))
 
 
+def _hashed_ngram_buckets(
+    docs: DataFrame, n_buckets: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, bucket, k): hashed unigram+bigram feature counts per doc --
+    DSIR's bag-of-hashed-ngrams representation. One zero-shuffle
+    projection builds the feature array (tokens + shifted-index
+    bigrams, the bigram_logprob idiom), one explode + aggregation
+    counts buckets. hash60 % n_buckets is the shared oracle-parity
+    hash (functions/hashing.py)."""
+    from ..functions.hashing import hash60
+
+    base = docs.select(
+        F.col(id_col), _tokens(F.lower(F.col(text_col))).alias("__t")
+    )
+    toks = F.col("__t")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i - 1), F.element_at(toks, i)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    return (
+        base.select(F.col(id_col), F.explode(feats).alias("__f"))
+        .select(
+            id_col,
+            F.pmod(hash60(F.col("__f")), F.lit(n_buckets)).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("k"))
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 8192,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" -- public methodology):
+    score each raw document by the log importance ratio
+    ln p_target(doc) - ln q_raw(doc) under bag-of-hashed-ngram
+    multinomials with add-one smoothing over `n_buckets` buckets --
+    the data-SELECTION family (pick web docs that look like a clean
+    target corpus), complementing the dedup/quality filters.
+
+    Output: (id, n_feats, llr_mills) -- the ratio in exact milli-nat
+    BIGINT, quantized PER (doc, bucket) before the integer sum (the
+    unigram_logprob rounding discipline; higher = more target-like).
+    Empty docs score (0, 0).
+
+    Caveat (pinned by test): add-one smoothing's unseen-feature floor
+    is ln(1/(total+B)) PER MODEL, so a target corpus orders of
+    magnitude smaller than the raw corpus inflates every
+    absent-from-target feature's ratio -- the paper's setting is two
+    comparably large corpora; don't score a web crawl against a
+    ten-document target.
+
+    Scale shape: unlike unigram_lm's unbounded vocabulary, BOTH models
+    live on a FIXED B-row frame (B = n_buckets, a constant), so the
+    two model relations are legitimately broadcastable regardless of
+    corpus size; each is one explode + one aggregation with map-side
+    partials absorbing the Zipf head (hot buckets combine per
+    partition). Scoring is the per-doc bucket-count relation joined
+    against the broadcast B-row ratio map, then one groupBy(id) --
+    two corpus passes total (featurize raw, featurize target), no
+    window, no global sort."""
+    raw_fc = _hashed_ngram_buckets(docs, n_buckets, text_col, id_col)
+    tgt_fc = _hashed_ngram_buckets(target, n_buckets, text_col, id_col)
+    q = raw_fc.groupBy("bucket").agg(F.sum("k").alias("qc"))
+    p = tgt_fc.groupBy("bucket").agg(F.sum("k").alias("pc"))
+    q_tot = q.agg(F.sum("qc").alias("__qt"))
+    p_tot = p.agg(F.sum("pc").alias("__pt"))
+    # B-row ratio relation: add-one smoothing keeps buckets absent
+    # from either model finite; broadcast is sound (|rows| == B)
+    ratio = (
+        q.join(p, "bucket", "full")
+        .join(F.broadcast(q_tot))
+        .join(F.broadcast(p_tot))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("pc"), F.lit(0)) + 1)
+                        / (F.col("__pt") + n_buckets)
+                    )
+                    - F.log(
+                        (F.coalesce(F.col("qc"), F.lit(0)) + 1)
+                        / (F.col("__qt") + n_buckets)
+                    )
+                ) * 1000
+            ).cast("long").alias("lr_mills"),
+        )
+    )
+    scored = raw_fc.join(F.broadcast(ratio), "bucket").groupBy(id_col).agg(
+        F.sum("k").cast("long").alias("n_feats"),
+        F.sum(F.col("k") * F.col("lr_mills")).cast("long").alias(
+            "llr_mills"
+        ),
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.coalesce("llr_mills", F.lit(0)).alias("llr_mills"),
+        )
+    )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    fraction: float,
+    n_buckets: int = 8192,
+    seed: int = 17,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR's selection step: keep ~`fraction` of the raw corpus,
+    sampled WITHOUT replacement with probability proportional to the
+    importance weight, via the Gumbel-top-k trick (Xie et al. 2023
+    sec. 3; Gumbel noise on the log-weight makes the top-k an exact
+    importance sample). Noise is deterministic per (seed, id) --
+    g = -ln(-ln(u)), u from the xxhash64 uniform (the resample_mixture
+    idiom) -- so the kept subset is reproducible across runs and
+    partitionings.
+
+    Scale shape: no global sort -- the top-k threshold is ONE scalar
+    (the (1-fraction) percentile of the noisy score, computed with
+    `percentile_approx` at corpus scale; exact fraction matters less
+    than reproducibility) collected to the driver, then one codegen'd
+    filter pass."""
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    w = dsir_weights(docs, target, n_buckets, text_col, id_col)
+    u = (
+        F.pmod(F.xxhash64(F.lit(int(seed)), F.col(id_col)), F.lit(1 << 40))
+        + 1  # (0, 2^40]: keeps ln(u) finite
+    ) / F.lit(float(1 << 40))
+    noisy = (F.col("llr_mills") / 1000.0) - F.log(-F.log(u))
+    scored = w.select(id_col, noisy.alias("__g"))
+    thresh = scored.agg(
+        F.percentile_approx("__g", 1.0 - fraction).alias("t")
+    ).first()["t"]
+    keep = scored.where(F.col("__g") >= thresh).select(id_col)
+    # keep set is `fraction` of the corpus -- shuffle semi-join, never
+    # broadcast (the pipeline keep-set discipline)
+    return docs.join(keep, id_col, "left_semi")
+
+
 def cap_per_group(
     docs: DataFrame,
     max_docs: int,

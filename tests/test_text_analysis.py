@@ -735,3 +735,123 @@ def test_cap_per_group_vs_duckdb(spark):
 
     with pytest.raises(ValueError, match="max_docs"):
         cap_per_group(docs, 0)
+
+
+def test_dsir_weights_vs_duckdb_and_semantics(spark):
+    """DSIR importance weights: (a) exactness vs an independent DuckDB
+    recompute (same hash60 % B bucketing, add-one smoothing, per-row
+    mills quantization -- gate-ready oracle SQL), (b) semantics: raw
+    docs resembling the target corpus outscore junk, (c) empty docs
+    score (0, 0)."""
+    import duckdb
+
+    from prom_tsdb_copyer_spark.operators.text import dsir_weights
+
+    target = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and looked at the dog"),
+            (1, "a dog and a cat lived in the little house"),
+            (2, "the house had a mat and the cat liked it"),
+        ],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (10, "the cat and the dog sat in the house"),   # target-like
+            (11, "zq9 xv7 qq3 zz8 kk2 jj5"),                # junk
+            (12, "buy now cheap pills zz8 qq3 click here"), # junkish
+            (13, ""),                                        # empty
+        ],
+        "doc_id long, text string",
+    )
+    B = 512
+    got = {
+        r["doc_id"]: (r["n_feats"], r["llr_mills"])
+        for r in dsir_weights(raw, target, n_buckets=B).collect()
+    }
+    # semantics: per-feature mean ratio separates target-like from junk
+    per = {i: got[i][1] / max(got[i][0], 1) for i in (10, 11, 12)}
+    assert per[10] > per[11] and per[10] > per[12]
+    assert got[13] == (0, 0)
+
+    con = duckdb.connect()
+    con.register("raw", raw.toPandas())
+    con.register("tgt", target.toPandas())
+
+    def feats(table):
+        return rf"""
+          SELECT doc_id,
+                 ('0x' || substr(md5(f), 1, 15))::BIGINT % {B} AS bucket,
+                 count(*) AS k
+          FROM (
+            SELECT doc_id, unnest(list_concat(tk,
+                     CASE WHEN len(tk) >= 2 THEN
+                       list_transform(generate_series(2, len(tk)),
+                         i -> tk[i-1] || ' ' || tk[i])
+                     ELSE [] END)) AS f
+            FROM (SELECT doc_id,
+                         list_filter(regexp_split_to_array(
+                           trim(lower(text)), '\s+'), t -> t <> '') AS tk
+                  FROM {table}))
+          GROUP BY 1, 2
+        """
+
+    sql = f"""
+      WITH rf AS ({feats('raw')}), tf AS ({feats('tgt')}),
+      q AS (SELECT bucket, sum(k) AS qc FROM rf GROUP BY 1),
+      p AS (SELECT bucket, sum(k) AS pc FROM tf GROUP BY 1),
+      qt AS (SELECT sum(qc) AS t FROM q),
+      pt AS (SELECT sum(pc) AS t FROM p),
+      ratio AS (
+        SELECT coalesce(q.bucket, p.bucket) AS bucket,
+               CAST(round((ln((coalesce(pc, 0) + 1) / (pt.t + {B}))
+                         - ln((coalesce(qc, 0) + 1) / (qt.t + {B})))
+                         * 1000) AS BIGINT) AS lr_mills
+        FROM q FULL JOIN p ON q.bucket = p.bucket
+        CROSS JOIN qt CROSS JOIN pt),
+      agg AS (
+        SELECT rf.doc_id, CAST(sum(rf.k) AS BIGINT) AS n_feats,
+               CAST(sum(rf.k * ratio.lr_mills) AS BIGINT) AS llr_mills
+        FROM rf JOIN ratio USING (bucket) GROUP BY 1)
+      SELECT r.doc_id, coalesce(a.n_feats, 0), coalesce(a.llr_mills, 0)
+      FROM raw r LEFT JOIN agg a USING (doc_id)
+    """
+    want = {int(i): (int(n), int(m)) for i, n, m in con.sql(sql).fetchall()}
+    assert got == want
+
+
+def test_dsir_resample_deterministic_fraction(spark):
+    """The Gumbel-top-k selection keeps ~fraction of the corpus, is
+    byte-identical across runs for one seed, prefers target-like docs
+    in aggregate, and validates its fraction."""
+    import pytest
+
+    from prom_tsdb_copyer_spark.operators.text import dsir_resample
+
+    # target comparable in size to raw: add-one smoothing floors are
+    # balanced (a tiny target vs a huge raw corpus inflates every
+    # unseen-feature ratio -- the paper's setting is two large corpora)
+    target = spark.createDataFrame(
+        [(i, "the cat sat on the mat near the dog and the house "
+             f"t{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    # 30 target-like + 30 junk raw docs
+    rows = [(i, "the cat and the dog sat on the mat " + f"v{i}")
+            for i in range(30)]
+    rows += [(100 + i, f"zq{i} xv{i} qq{i} zz{i} kk{i}")
+             for i in range(30)]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kept = dsir_resample(raw, target, fraction=0.5, n_buckets=256,
+                         seed=3)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    again = {r["doc_id"] for r in dsir_resample(
+        raw, target, fraction=0.5, n_buckets=256, seed=3
+    ).select("doc_id").collect()}
+    assert ids == again
+    assert 18 <= len(ids) <= 42  # ~half (Gumbel noise + approx thresh)
+    # importance sampling prefers the target-like half in aggregate
+    assert len([i for i in ids if i < 100]) > len(ids) / 2
+    with pytest.raises(ValueError, match="fraction"):
+        dsir_resample(raw, target, fraction=0.0)

@@ -255,3 +255,21 @@ def test_broadcast_assignment_zero_exchange(spark):
     p = _plan(df)
     assert "Exchange" not in p
     assert "MapInPandas" in p
+
+
+def test_dsir_scoring_broadcasts_ratio_map_no_window(spark):
+    """dsir_weights' scoring join must be a broadcast hash join on the
+    FIXED B-row ratio relation (legitimate: |rows| == n_buckets, a
+    constant -- unlike the unbounded-vocab LM joins which must NOT
+    broadcast), and the whole plan has no Window and no global Sort."""
+    from prom_tsdb_copyer_spark.operators.text import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id long, text string"
+    )
+    tgt = spark.createDataFrame(
+        [(1, "a b d")], "doc_id long, text string"
+    )
+    p = _plan(dsir_weights(docs, tgt, n_buckets=64))
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p

@@ -103,6 +103,30 @@ def run_bench() -> dict:
     # sandbox's one shared disk shows +-25% run-to-run contention
     # noise, and min-of-k measures the engine rather than the
     # neighbors (same protocol as --cascade-only).
+    # record ADMISSION gate (VERDICT r7 #2): the r4->r7 headline drifted
+    # 14.36 -> 15.91 s on byte-identical cascade code purely because the
+    # driver's measurement window kept landing on a contended host
+    # (r7's record started at loadavg 6.44 while the same build read
+    # 14.18 s in a quiet window). Before timing anything, wait -- bounded
+    # -- for the 1-min loadavg to drop under a small threshold; every
+    # sample taken while waiting rides in the record (`loadavg_admission`)
+    # so a record that had to run contended PROVES the window never
+    # opened instead of silently reporting a slow engine.
+    ADMIT_LOAD = float(os.environ.get("BENCH_ADMIT_LOAD", "3.0"))
+    ADMIT_TRIES = int(os.environ.get("BENCH_ADMIT_TRIES", "6"))
+    loadavg_admission = [round(os.getloadavg()[0], 2)]
+    for _ in range(ADMIT_TRIES):
+        if loadavg_admission[-1] <= ADMIT_LOAD:
+            break
+        time.sleep(30)
+        loadavg_admission.append(round(os.getloadavg()[0], 2))
+    if loadavg_admission[-1] > ADMIT_LOAD:
+        print(
+            f"bench admission: loadavg stayed > {ADMIT_LOAD} through "
+            f"{len(loadavg_admission)} samples {loadavg_admission}; "
+            "recording on a contended window",
+            file=sys.stderr,
+        )
     loadavg_start = os.getloadavg()
     cold_secs, _ = timed(full_cascade)
     queries["rollup_cascade_cold"] = round(cold_secs, 3)
@@ -269,12 +293,49 @@ def run_bench() -> dict:
         # auto resolves to broadcast above LITERAL_CELL_LIMIT
         return assign_cells(emb, cells4k).count()
 
+    # the materialized pruned-probe read at n_cells >= 1k (VERDICT r7
+    # #5): write the cell-partitioned index once (timed as its own
+    # one-time key), then compare a FULL probe (n_probe = n_cells: the
+    # scan lists every cell dir) against a 32-cell pruned probe (the
+    # scan's PartitionFilters keep <= 32 * n_queries dirs). Fixed
+    # seeded centroids/codebooks: this key times the READ path, not
+    # k-means (ivfpq_build already times training).
+    from prom_tsdb_copyer_spark.operators.similarity import (
+        ivfpq_topk_pruned,
+        write_ivfpq_index,
+    )
+
+    rng1k = _np.random.default_rng(7)
+    cents1k = rng1k.standard_normal((1024, 64)).tolist()
+    books1k = rng1k.standard_normal((4, 16, 16)).tolist()
+    index_dir = "/tmp/bench_ivfpq_index"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    wsecs, _ = timed(
+        lambda: write_ivfpq_index(emb, index_dir, cents1k, books1k)
+    )
+    queries["ivfpq_index_write_1k"] = round(wsecs, 3)
+
+    def pruned_probe(n_probe):
+        def run():
+            reg = []
+            n = ivfpq_topk_pruned(
+                spark, index_dir, emb.where("vec_id < 10"), cents1k,
+                books1k, k=3, n_probe=n_probe, cache_registry=reg,
+            ).count()
+            for c in reg:
+                c.unpersist()
+            return n
+
+        return run
+
     for nm, fn in (
         ("unigram_logprob", lambda: unigram_logprob(docs).count()),
         ("tfidf_keywords", lambda: tfidf_keywords(docs, top_k=5).count()),
         ("ivfpq_topk", ivfpq),
         ("ivfpq_topk_bcast", ivfpq_bcast),
         ("assign_cells_4k_bcast", assign4k),
+        ("ivfpq_probe_full_1k", pruned_probe(1024)),
+        ("ivfpq_probe_pruned_1k", pruned_probe(32)),
         ("hll_tier_1h", hll_1h),
     ):
         runs = [timed(fn)[0] for _ in range(3)]
@@ -293,6 +354,7 @@ def run_bench() -> dict:
         # three measured cascade passes plus 1/5/15-min load averages
         # sampled at bench start and right after the cascade legs
         "cascade_passes": cascade_passes,
+        "loadavg_admission": loadavg_admission,
         "loadavg_start": [round(x, 2) for x in loadavg_start],
         "loadavg_after_cascade": [
             round(x, 2) for x in loadavg_after_cascade

@@ -23,13 +23,21 @@ SCALES = {"tiny": 50, "small": 2000}
 
 
 def gen_transcripts_pdf(
-    n_convs: int = 50, seed: int = 42, with_text: bool = True
+    n_convs: int = 50, seed: int = 42, with_text: bool = True,
+    conv_prefix: str = "conv",
 ) -> pd.DataFrame:
+    """`conv_prefix` namespaces the conversation ids so CHUNKED
+    generation (tools/scale_leg.py: ten 22M-row chunks -> one 220M-row
+    table that never fits in one pandas frame) yields disjoint series
+    across chunks instead of accidentally fusing ten zipf draws into
+    10x-hot conversations."""
     rng = np.random.default_rng(seed)
     lengths = np.clip(rng.zipf(1.3, n_convs), 1, 5000).astype(np.int64)
     total = int(lengths.sum())
 
-    conv_ids = np.repeat([f"conv-{i:08d}" for i in range(n_convs)], lengths)
+    conv_ids = np.repeat(
+        [f"{conv_prefix}-{i:08d}" for i in range(n_convs)], lengths
+    )
     turn_idx = np.concatenate([np.arange(n, dtype=np.int32) for n in lengths])
 
     # roles: base alternation user/assistant; system only at turn 0 (p=.3);
@@ -98,17 +106,21 @@ def _turn_text(conv_id: str, turn_idx: int, length: int) -> str:
 
 
 def write_bench_parquet(
-    path: str, n_convs: int, seed: int = 42, rows_per_file: int = 250_000
+    path: str, n_convs: int, seed: int = 42, rows_per_file: int = 250_000,
+    conv_prefix: str = "conv", file_prefix: str = "part",
 ) -> int:
     """rows_per_file sizes SCAN parallelism: these zstd files are far
     below spark.sql.files.maxPartitionBytes, so one file == one scan
     task; 2M-row files capped a 22M-row scan at 12 tasks and silently
     serialized 32-core runs."""
-    return _write_bench_parquet(path, n_convs, seed, rows_per_file)
+    return _write_bench_parquet(
+        path, n_convs, seed, rows_per_file, conv_prefix, file_prefix
+    )
 
 
 def _write_bench_parquet(
-    path: str, n_convs: int, seed: int, rows_per_file: int
+    path: str, n_convs: int, seed: int, rows_per_file: int,
+    conv_prefix: str = "conv", file_prefix: str = "part",
 ) -> int:
     """Generate a bench-scale transcripts table straight to parquet via
     pyarrow (no Spark, no text payload) -- cached input for scaling runs.
@@ -116,7 +128,9 @@ def _write_bench_parquet(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pdf = gen_transcripts_pdf(n_convs, seed, with_text=False)
+    pdf = gen_transcripts_pdf(
+        n_convs, seed, with_text=False, conv_prefix=conv_prefix
+    )
     # Spark cannot read TIMESTAMP(NANOS) parquet -- coerce to micros
     pdf["ts"] = pdf["ts"].astype("datetime64[us]")
     table = pa.Table.from_pandas(pdf, preserve_index=False)
@@ -127,7 +141,7 @@ def _write_bench_parquet(
     for i, lo in enumerate(range(0, n, rows_per_file)):
         pq.write_table(
             table.slice(lo, rows_per_file),
-            os.path.join(path, f"part-{i:04d}.parquet"),
+            os.path.join(path, f"{file_prefix}-{i:04d}.parquet"),
             compression="zstd",
         )
     return n

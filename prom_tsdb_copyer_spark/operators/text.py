@@ -509,6 +509,7 @@ def dsir_weights(
     n_buckets: int = 8192,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling" -- public methodology):
@@ -537,9 +538,20 @@ def dsir_weights(
     partials absorbing the Zipf head (hot buckets combine per
     partition). Scoring is the per-doc bucket-count relation joined
     against the broadcast B-row ratio map, then one groupBy(id) --
-    two corpus passes total (featurize raw, featurize target), no
-    window, no global sort."""
-    raw_fc = _hashed_ngram_buckets(docs, n_buckets, text_col, id_col)
+    two corpus passes total (featurize raw ONCE -- the raw featurization
+    feeds both the q model and the scoring join, so it is persisted
+    through its two consumers (ADVICE r7: unpersisted it would execute
+    twice) -- and featurize target), no window, no global sort. Pass
+    `cache_registry` to receive the pinned featurization for explicit
+    unpersist once the result is materialized; without it the pin ages
+    out via Spark's LRU."""
+    from pyspark import StorageLevel
+
+    raw_fc = _hashed_ngram_buckets(
+        docs, n_buckets, text_col, id_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(raw_fc)
     tgt_fc = _hashed_ngram_buckets(target, n_buckets, text_col, id_col)
     q = raw_fc.groupBy("bucket").agg(F.sum("k").alias("qc"))
     p = tgt_fc.groupBy("bucket").agg(F.sum("k").alias("pc"))
@@ -592,6 +604,7 @@ def dsir_resample(
     seed: int = 17,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """DSIR's selection step: keep ~`fraction` of the raw corpus,
     sampled WITHOUT replacement with probability proportional to the
@@ -609,16 +622,27 @@ def dsir_resample(
     filter pass."""
     if not (0.0 < fraction <= 1.0):
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
-    w = dsir_weights(docs, target, n_buckets, text_col, id_col)
+    w = dsir_weights(docs, target, n_buckets, text_col, id_col,
+                     cache_registry=cache_registry)
+    # hash -> the OPEN interval (0, 1): pmod lands in [0, 2^40-1], so
+    # +0.5 keeps BOTH ln(u) and ln(-ln(u)) finite. (ADVICE r7: the old
+    # +1 mapping allowed u == 1 exactly, where -ln(-ln(1)) = -ln(0)
+    # NULLs out in Spark and the doc is silently DROPPED -- the
+    # opposite of the Gumbel limit, where u -> 1 means "always keep".)
     u = (
         F.pmod(F.xxhash64(F.lit(int(seed)), F.col(id_col)), F.lit(1 << 40))
-        + 1  # (0, 2^40]: keeps ln(u) finite
+        + 0.5
     ) / F.lit(float(1 << 40))
     noisy = (F.col("llr_mills") / 1000.0) - F.log(-F.log(u))
     scored = w.select(id_col, noisy.alias("__g"))
     thresh = scored.agg(
         F.percentile_approx("__g", 1.0 - fraction).alias("t")
     ).first()["t"]
+    if thresh is None:
+        # empty corpus: percentile of zero rows. Short-circuit rather
+        # than let where(__g >= NULL) silently produce zero rows with a
+        # misleading plan (ADVICE r7) -- docs is already empty here.
+        return docs
     keep = scored.where(F.col("__g") >= thresh).select(id_col)
     # keep set is `fraction` of the corpus -- shuffle semi-join, never
     # broadcast (the pipeline keep-set discipline)

@@ -7,7 +7,8 @@ designed to compose in, tests/test_pipeline_e2e.py):
 
     scrub-pii -> line-dedup -> exact-dedup -> span-scrub ->
     near-dedup(minhash) -> decontaminate -> cap(per-source) ->
-    quality-filter(gopher) -> lm-quality(unigram) -> chunk -> pack
+    quality-filter(gopher) -> lm-quality(unigram) ->
+    select(DSIR importance resampling) -> chunk -> pack
 
 Input: a documents parquet (doc_id, text, ...); output: a cleaned
 corpus parquet (or chunked training samples with shard assignments),
@@ -33,7 +34,7 @@ from pyspark.sql import functions as F
 
 STAGES = (
     "scrub", "line-dedup", "dedup", "span-scrub", "neardup",
-    "decontaminate", "cap", "quality", "lm-quality",
+    "decontaminate", "cap", "quality", "lm-quality", "select",
 )
 
 #: chunk_idx headroom in the arithmetic (doc_id, chunk_idx) ->
@@ -109,6 +110,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="lm-quality keeps docs with mean token logprob >= this"
              " (milli-nats/token; corpus-self-trained unigram LM)",
     )
+    p.add_argument(
+        "--select-target", default=None, metavar="PARQUET",
+        help="target-corpus documents parquet (select stage: DSIR "
+             "importance resampling toward this distribution)",
+    )
+    p.add_argument("--select-fraction", type=float, default=0.5,
+                   help="fraction of the corpus the select stage keeps")
+    p.add_argument("--select-buckets", type=int, default=8192,
+                   help="hashed-ngram buckets for the DSIR models")
+    p.add_argument("--select-seed", type=int, default=17,
+                   help="Gumbel-noise seed for the select stage")
     p.add_argument("--chunk", default=None, metavar="W:O",
                    help="emit training windows (window:overlap tokens)")
     p.add_argument("--pack", type=int, default=None, metavar="BUDGET",
@@ -140,6 +152,8 @@ def build_pipeline(spark, args) -> tuple[DataFrame, dict, list]:
         raise SystemExit(f"unknown stages: {unknown} (choose from {STAGES})")
     if "decontaminate" in stages and not args.eval_set:
         raise SystemExit("--eval-set is required for the decontaminate stage")
+    if "select" in stages and not args.select_target:
+        raise SystemExit("--select-target is required for the select stage")
     if args.pack is not None and args.chunk is None:
         raise SystemExit("--pack requires --chunk")
 
@@ -276,6 +290,30 @@ def _assemble_stages(spark, args, stages, docs, report, caches, pin):
         docs = pin(
             docs.join(ok, "doc_id", "left_semi"), "lm-quality"
         )
+    if "select" in stages:
+        from .operators.text import dsir_resample
+
+        # DSIR importance resampling toward --select-target (Xie et
+        # al. 2023), LAST of the document-level stages: selection
+        # probabilities should reflect the corpus the model would
+        # otherwise train on, i.e. after dedup/cap/quality have had
+        # their say. The raw featurization inside is persisted through
+        # its two consumers via the registry (ADVICE r7) and dropped
+        # once the stage count has materialized the keep set.
+        target = spark.read.parquet(args.select_target)
+        side_sel: list[DataFrame] = []
+        try:
+            docs = pin(
+                dsir_resample(
+                    docs, target, fraction=args.select_fraction,
+                    n_buckets=args.select_buckets, seed=args.select_seed,
+                    cache_registry=side_sel,
+                ),
+                "select",
+            )
+        finally:
+            for c in side_sel:
+                c.unpersist()
 
     out = docs
     if args.chunk is not None:

@@ -575,9 +575,29 @@ def compact_neardup_index(
     concurrent with an active foreachBatch -- same single-writer rule
     as tier compaction after ResumableRollup. Crash hygiene mirrors
     compact_partitions: stage dot-prefixed, swap via rename, restore a
-    leftover backup whose live dir vanished."""
+    leftover backup whose live dir vanished.
+
+    FS contract (ADVICE r7): the swap is pathlib/shutil, so this
+    function is LOCAL-FS ONLY -- an hdfs:// or s3a:// index_dir raises
+    NotImplementedError instead of silently no-opping (which would
+    leave retired docs probe-able); at cluster scale the legs are
+    Iceberg tables and the equivalent is `rewrite_data_files` + a
+    DELETE. Likewise, when `retired_ids` is given, a missing leg is an
+    ERROR (the retirement could not be applied), not a skip."""
     import shutil
     from pathlib import Path
+    from urllib.parse import urlparse
+
+    scheme = urlparse(str(index_dir)).scheme
+    if scheme not in ("", "file"):
+        raise NotImplementedError(
+            f"compact_neardup_index is local-FS only (got {scheme}://): "
+            "the stage/swap uses pathlib+shutil renames. On a cluster "
+            "store, run the Iceberg equivalent (rewrite_data_files + "
+            "DELETE FROM ... WHERE doc_id IN retired)."
+        )
+    if scheme == "file":
+        index_dir = urlparse(str(index_dir)).path
 
     root = Path(index_dir)
     # recover an interrupted previous pass (same discipline as
@@ -592,6 +612,17 @@ def compact_neardup_index(
         else:
             shutil.rmtree(backup)
 
+    if retired_ids is not None:
+        # validate BEFORE touching anything: raising mid-loop would
+        # leave one leg retired and the other still probe-able
+        absent = [leg for leg in ("bands", "sets")
+                  if not (root / leg).is_dir()]
+        if absent:
+            raise ValueError(
+                f"index leg(s) {absent} missing under {root}: retirement "
+                "cannot be applied, so the retired docs would stay "
+                "probe-able -- refusing to silently skip"
+            )
     done: dict[str, int] = {}
     for leg in ("bands", "sets"):
         leg_dir = root / leg

@@ -749,3 +749,155 @@ def test_pq_topk_vs_duckdb(spark, emb):
         for qid, nid, d, rank in con.sql(sql).fetchall()
     }
     assert got == want
+
+
+def test_pruned_probe_matches_inmemory_and_prunes_partitions(
+    spark, emb, tmp_path
+):
+    """VERDICT r7 #5: the materialized cell-partitioned index read.
+    (a) write_ivfpq_index lays the (id, codes, cell=...) directory
+    tree; (b) ivfpq_topk_pruned over it returns EXACTLY the in-memory
+    ivfpq_topk result for the same (centroids, codebooks, n_probe);
+    (c) the probe scan's PartitionFilters prune to the probed cell
+    dirs (the read_tier_auto part_day assertion pattern)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from prom_tsdb_copyer_spark.operators.similarity import (
+        ivfpq_topk,
+        ivfpq_topk_pruned,
+        pq_train,
+        train_centroids,
+        write_ivfpq_index,
+    )
+
+    cents = train_centroids(emb, n_cells=6, n_iter=2)
+    books = pq_train(emb, m=4, k=8, n_iter=2)
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(emb, path, cents, books)
+    # one directory per non-empty cell
+    dirs = sorted(p.name for p in (tmp_path / "ivfpq_index").iterdir()
+                  if p.name.startswith("cell="))
+    assert dirs and all(d.startswith("cell=") for d in dirs)
+
+    qs = emb.where(F.col("vec_id") < 4)
+    reg = []
+    got = ivfpq_topk_pruned(
+        spark, path, qs, cents, books, k=3, n_probe=2,
+        cache_registry=reg,
+    )
+    want = ivfpq_topk(
+        emb, qs, k=3, n_probe=2, centroids=cents, codebooks=books,
+    )
+    as_set = lambda df: {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_dist"])
+        for r in df.collect()
+    }
+    assert as_set(got) == as_set(want)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain()
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1][:200], "cell-partition pruning not engaged"
+    for c in reg:
+        c.unpersist()
+
+
+def test_broadcast_kernels_nan_and_invalid_input_laws(spark):
+    """ADVICE r7, the unified invalid-input laws: (a) a NaN-ELEMENT
+    centroid yields NaN cosine -> BOTH paths rank it -inf (never
+    picked/probed), closing the Spark-NaN-greatest vs numpy-NaN-last
+    divergence; (b) a zero-NORM centroid raises LOUDLY on both paths
+    (ANSI DIVIDE_BY_ZERO on the literal fold, the kernels'
+    _check_norms guard); (c) a null embedding makes the broadcast
+    kernel raise with a filter hint instead of an opaque np.stack
+    crash; (d) ragged dims raise naming the lengths."""
+    import pytest
+
+    from prom_tsdb_copyer_spark.operators.similarity import (
+        assign_cells,
+        top_cells,
+    )
+
+    nan = float("nan")
+    cents = [[nan, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    rows = [(0, [2.0, 0.1, 0.0]), (1, [0.1, 3.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for meth in ("literal", "broadcast"):
+        got = {r["vec_id"]: r["cell"]
+               for r in assign_cells(df, cents, method=meth).collect()}
+        assert got == {0: 1, 1: 2}, meth  # the NaN cell never wins
+        probed = {
+            (r["vec_id"], r["cell"])
+            for r in top_cells(
+                df.select("vec_id", F.col("embedding").alias("qvec")),
+                cents, n_probe=2, method=meth,
+            ).collect()
+        }
+        # the NaN cell ranks LAST under both engines: 2 probes pick
+        # the two real centroids, never cell 0
+        assert probed == {(0, 1), (0, 2), (1, 2), (1, 1)}, meth
+    # a NaN-element QUERY vector: every cell ties at -inf, both paths
+    # break toward cell 0 (argmax-first == max neg_cell)
+    nq = spark.createDataFrame(
+        [(9, [nan, 1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    for meth in ("literal", "broadcast"):
+        [r] = assign_cells(nq, cents, method=meth).collect()
+        assert r["cell"] == 0, meth
+
+    zero = [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]]
+    with pytest.raises(Exception, match="zero-norm centroid"):
+        assign_cells(df, zero, method="broadcast")
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        assign_cells(df, zero, method="literal").collect()
+    zvec = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    ok_cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    with pytest.raises(Exception, match="zero-norm embedding"):
+        assign_cells(zvec, ok_cents, method="broadcast").collect()
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        assign_cells(zvec, ok_cents, method="literal").collect()
+
+    bad = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, None)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="null embedding"):
+        assign_cells(bad, ok_cents, method="broadcast").collect()
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="ragged embedding"):
+        assign_cells(ragged, ok_cents, method="broadcast").collect()
+
+
+def test_round_half_up_matches_spark_round_on_boundaries(spark):
+    """ADVICE r7: np.round is half-to-EVEN; Spark F.round is HALF_UP
+    (ties away from zero). The kernels' _round_half_up must agree with
+    F.round on EXACTLY representable .5 boundaries (scale 0: binary
+    halves are exact, so the tie genuinely fires), both signs, and
+    pass non-finite values through. np.round would return 0/2/2/-0/-2
+    on the first five -- the divergence this helper closes."""
+    import numpy as np
+
+    from prom_tsdb_copyer_spark.operators.similarity import _round_half_up
+
+    vals = [0.5, 1.5, 2.5, -0.5, -1.5]
+    got = _round_half_up(np.array(vals), 0)
+    spark_got = [
+        r["r"]
+        for r in spark.createDataFrame([(v,) for v in vals], "x double")
+        .select(F.round("x", 0).alias("r")).collect()
+    ]
+    assert list(got) == spark_got == [1.0, 2.0, 3.0, -1.0, -2.0]
+    # half-to-even really differs here (2.5 -> 2), so the parity claim
+    # is non-vacuous
+    assert np.round(2.5) == 2.0
+    nf = _round_half_up(np.array([np.inf, -np.inf, np.nan]), 6)
+    assert nf[0] == np.inf and nf[1] == -np.inf and np.isnan(nf[2])

@@ -501,3 +501,32 @@ def test_compact_neardup_index_invariance_and_retirement(spark, tmp_path):
     }
     after = probe()
     assert after == {p for p in before if 0 not in p}
+
+
+def test_compact_neardup_index_fs_and_missing_leg_guards(spark, tmp_path):
+    """ADVICE r7: compact_neardup_index's swap is pathlib/shutil, so a
+    remote-FS index_dir must RAISE (a silent no-op would leave retired
+    docs probe-able), and a missing leg is an error when retired_ids
+    was given (the retirement could not be applied)."""
+    import pytest
+
+    from prom_tsdb_copyer_spark.streaming.incremental import (
+        compact_neardup_index,
+    )
+
+    retired = spark.createDataFrame([(1,)], "doc_id long")
+    for uri in ("hdfs://nn/idx", "s3a://bucket/idx"):
+        with pytest.raises(NotImplementedError, match="local-FS only"):
+            compact_neardup_index(spark, uri, retired_ids=retired)
+
+    root = tmp_path / "idx"
+    root.mkdir()
+    (root / "bands").mkdir()  # sets leg absent
+    spark.createDataFrame([(1, 0, "s")], "doc_id long, band int, sig string") \
+        .write.mode("overwrite").parquet(str(root / "bands"))
+    with pytest.raises(ValueError, match="missing"):
+        compact_neardup_index(spark, str(root), retired_ids=retired)
+    # without retirement, a missing leg is a legitimate skip
+    assert "sets" not in compact_neardup_index(spark, str(root))
+    # file:// scheme is local: accepted and resolved
+    assert compact_neardup_index(spark, f"file://{root}") is not None

@@ -855,3 +855,47 @@ def test_dsir_resample_deterministic_fraction(spark):
     assert len([i for i in ids if i < 100]) > len(ids) / 2
     with pytest.raises(ValueError, match="fraction"):
         dsir_resample(raw, target, fraction=0.0)
+
+
+def test_dsir_resample_empty_corpus_and_open_interval(spark):
+    """ADVICE r7: (a) an empty raw corpus short-circuits (percentile
+    of zero rows is NULL; the old where(__g >= NULL) silently emitted
+    zero rows of a misleading plan) -- result is simply empty; (b) the
+    hash->uniform map lands strictly inside (0, 1): (pmod + 0.5)/2^40
+    can never hit u == 1, where -ln(-ln(1)) NULLs out and the doc
+    would be silently DROPPED against the Gumbel limit. Structural
+    check: every raw doc survives fraction=1.0 (a NULL noise score
+    would fail the >= threshold filter and lose its doc)."""
+    from prom_tsdb_copyer_spark.operators.text import dsir_resample
+
+    target = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "a dog ran")],
+        "doc_id long, text string",
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dsir_resample(empty, target, fraction=0.5).count() == 0
+
+    raw = spark.createDataFrame(
+        [(i, f"doc number {i} words here") for i in range(50)],
+        "doc_id long, text string",
+    )
+    kept = dsir_resample(raw, target, fraction=1.0, n_buckets=64)
+    assert kept.count() == 50  # no doc silently dropped to a NULL gumbel
+
+
+def test_dsir_weights_registry_pins_featurization(spark):
+    """ADVICE r7: the raw featurization feeds both the q model and the
+    scoring join -- with a cache_registry the pinned relation is handed
+    back (and is really persisted) so the explode+agg runs once."""
+    from prom_tsdb_copyer_spark.operators.text import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    reg = []
+    out = dsir_weights(docs, docs, n_buckets=32, cache_registry=reg)
+    assert out.count() == 10
+    assert len(reg) == 1 and reg[0].storageLevel.useMemory
+    for c in reg:
+        c.unpersist()

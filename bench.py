@@ -192,10 +192,11 @@ def run_bench() -> dict:
     # record while quiet-window runs sat at ~3.8 s). The first of the
     # three doubles as the warm-up, matching the cascade protocol.
     q = dict(entry.queries())
-    # rotated out of the 50-slot gate (r7) but still bench-tracked so
-    # round-over-round timing comparisons stay like-with-like
+    # rotated out of the 50-slot gate (r7/r8) but still bench-tracked
+    # so round-over-round timing comparisons stay like-with-like
     q["neardup_components"] = entry.q_neardup_components
     q["ann_cosine_topk"] = entry.q_ann_cosine_topk
+    q["dup_span_stats"] = entry.q_dup_span_stats
     # queries whose operators persist intermediates: later passes reuse
     # the cache (Spark's CacheManager matches identical logical plans),
     # so the min-of-3 is a WARM number. Report the first (cache-

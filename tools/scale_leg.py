@@ -110,6 +110,9 @@ def main() -> int:
     spark = get_spark(
         app_name="scale-leg", cores=args.cpus,
         shuffle_partitions=max(2 * args.cpus, 8),
+        # the session normally disables the UI; the REST stage API is
+        # this script's spill/memory evidence source, so turn it on
+        extra_conf={"spark.ui.enabled": "true"},
     )
     transcripts = spark.read.parquet(INPUT_DIR)
     rec: dict = {

@@ -471,3 +471,135 @@ def test_label_values_series_list_vs_duckdb(spark, transcripts,
     """
     want_sl = [tuple(r) for r in con.sql(sl_sql).fetchall()]
     assert got_sl == want_sl and want_sl
+
+
+def test_idelta_irate_vs_duckdb(spark, transcripts, transcripts_pdf):
+    """Gate-ready oracle SQL for idelta/irate (r9 rotation fuel, the
+    r7->r8 twin-then-promote protocol): DuckDB recomputes the
+    last-two-samples law independently -- lag window per series,
+    PromQL both-samples-inside-the-window restriction, arg_max picks.
+    All outputs are SELECTIONS (never accumulated sums), so the values
+    are bit-deterministic across partitionings -- the property that
+    makes this twin promotable to a value-hashed gate row."""
+    import duckdb
+
+    from prom_tsdb_copyer_spark.operators.query import idelta_irate
+
+    got = {
+        tuple(r[c] for c in [*SERIES, "window_ms"]): (
+            r["idelta"], round(r["irate_per_sec"], 9)
+        )
+        for r in idelta_irate(transcripts, SERIES, "1d").collect()
+    }
+    con = duckdb.connect()
+    con.register("transcripts", transcripts_pdf)
+    sql = f"""
+        WITH s AS (
+          SELECT conv_id, role, tool, value, epoch_us(ts) AS us,
+                 (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS window_ms,
+                 lag(value) OVER w AS pv,
+                 lag(epoch_us(ts)) OVER w AS pt
+          FROM transcripts
+          WINDOW w AS (PARTITION BY conv_id, role, tool
+                       ORDER BY epoch_us(ts))),
+        p AS (SELECT *, (pt // 1000 // {DAY_MS}) * {DAY_MS} AS pw
+              FROM s WHERE pt IS NOT NULL)
+        SELECT conv_id, role, tool, window_ms,
+               arg_max(value - pv, us) AS idelta,
+               arg_max(CASE WHEN value >= pv THEN value - pv
+                            ELSE value END, us)
+                 / (arg_max(us - pt, us) / 1000000.0) AS irate_per_sec
+        FROM p WHERE pw = window_ms
+        GROUP BY 1, 2, 3, 4
+    """
+    want = {
+        (c, r, t, int(w)): (float(i), round(float(ir), 9))
+        for c, r, t, w, i, ir in con.sql(sql).fetchall()
+    }
+    assert got == want and len(want) > 100
+
+
+def test_quantile_over_time_vs_duckdb(spark, transcripts, transcripts_pdf):
+    """Gate-ready oracle SQL for quantile_over_time (r9 rotation
+    fuel): DuckDB's quantile_cont implements the same linear-
+    interpolation rule as Spark's percentile (PromQL's rule). The
+    aggregate is order-INDEPENDENT (a sorted-multiset selection, not
+    an accumulated float sum), so round-to-6 values are stable enough
+    for a hashed gate row -- unlike stddev/deriv, whose accumulated
+    sums stay tolerance-compared in their numpy pytests."""
+    import duckdb
+
+    from prom_tsdb_copyer_spark.operators.query import quantile_over_time
+
+    got = {
+        tuple(r[c] for c in [*SERIES, "window_ms"]):
+            (r["n_samples"], round(r["quantile"], 6))
+        for r in quantile_over_time(
+            transcripts, SERIES, "1d", q=0.9
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("transcripts", transcripts_pdf)
+    sql = f"""
+        SELECT conv_id, role, tool,
+               (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS window_ms,
+               count(value) AS n_samples,
+               round(quantile_cont(value, 0.9), 6) AS quantile
+        FROM transcripts
+        GROUP BY 1, 2, 3, 4
+    """
+    want = {
+        (c, r, t, int(w)): (int(n), float(q))
+        for c, r, t, w, n, q in con.sql(sql).fetchall()
+    }
+    assert got == want and len(want) > 100
+
+
+def test_deriv_vs_duckdb_tolerance(spark, transcripts, transcripts_pdf):
+    """deriv's least-squares slope recomputed in DuckDB from the same
+    window-recentered sums. Accumulated float sums are order-dependent
+    at the ulp level, so this twin compares with a relative tolerance
+    and deriv deliberately stays OFF the hashed gate (the contract's
+    accumulated-DOUBLE rule) -- the twin still pins the algebra against
+    an independent engine."""
+    import math
+
+    import duckdb
+
+    from prom_tsdb_copyer_spark.operators.query import deriv
+
+    got = {
+        tuple(r[c] for c in [*SERIES, "window_ms"]): r["deriv_per_sec"]
+        for r in deriv(transcripts, SERIES, "1d").collect()
+    }
+    con = duckdb.connect()
+    con.register("transcripts", transcripts_pdf)
+    sql = f"""
+        WITH d AS (
+          SELECT conv_id, role, tool, value,
+                 (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS window_ms,
+                 epoch_us(ts) / 1000000.0
+                   - ((epoch_ms(ts) // {DAY_MS}) * {DAY_MS}) / 1000.0
+                   AS t_s
+          FROM transcripts)
+        SELECT conv_id, role, tool, window_ms,
+               CASE WHEN count(*) > 1
+                     AND count(*) * sum(t_s * t_s)
+                         - sum(t_s) * sum(t_s) != 0
+                    THEN (count(*) * sum(t_s * value)
+                          - sum(t_s) * sum(value))
+                         / (count(*) * sum(t_s * t_s)
+                            - sum(t_s) * sum(t_s)) END AS deriv_per_sec
+        FROM d GROUP BY 1, 2, 3, 4
+    """
+    want = {
+        (c, r, t, int(w)): (None if s is None else float(s))
+        for c, r, t, w, s in con.sql(sql).fetchall()
+    }
+    assert set(got) == set(want) and len(want) > 100
+    for k, v in want.items():
+        g = got[k]
+        if v is None or g is None:
+            assert v == g, k
+        else:
+            assert math.isclose(g, v, rel_tol=1e-6, abs_tol=1e-9), (k, g, v)

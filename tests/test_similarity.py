@@ -901,3 +901,107 @@ def test_round_half_up_matches_spark_round_on_boundaries(spark):
     assert np.round(2.5) == 2.0
     nf = _round_half_up(np.array([np.inf, -np.inf, np.nan]), 6)
     assert nf[0] == np.inf and nf[1] == -np.inf and np.isnan(nf[2])
+
+
+def test_ivfpq_full_probe_vs_duckdb(spark, emb):
+    """Gate-ready oracle SQL for IVF-PQ (r9 rotation fuel, the
+    twin-then-promote protocol): with FIXED centroids and codebooks,
+    exhaustive probe (n_probe == n_cells) is fully SQL-expressible --
+    argmax-cosine cell assignment (the semdedup oracle's law),
+    elementwise residual against the assigned centroid, per-subspace
+    argmin-L2 codes, and ADC where each (query, neighbor) pair scores
+    the query's residual AGAINST THE NEIGHBOR'S CELL (full probe means
+    every pair appears exactly once, keyed by the neighbor's cell).
+    DuckDB recomputes all of it independently."""
+    import duckdb
+
+    from prom_tsdb_copyer_spark.operators.similarity import ivfpq_topk
+
+    rng = np.random.default_rng(11)
+    n_cells, m, k_codes, dim = 6, 4, 8, 64
+    dsub = dim // m
+    cents = rng.standard_normal((n_cells, dim)).tolist()
+    books = rng.standard_normal((m, k_codes, dsub)).tolist()
+
+    qs = emb.where(F.col("vec_id") < 4)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_dist"])
+        for r in ivfpq_topk(
+            emb, qs, k=3, n_probe=n_cells,
+            centroids=cents, codebooks=books,
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    pdf = emb.toPandas()
+    pdf["embedding"] = pdf["embedding"].map(list)
+    con.register("emb", pdf)
+    cent_rows = ", ".join(
+        f"({i}, {[float(x) for x in c]}::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    book_rows = ", ".join(
+        f"({j}, {code}, {[float(x) for x in books[j][code]]}::DOUBLE[])"
+        for j in range(m)
+        for code in range(k_codes)
+    )
+    cos = ("round(list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a})) * "
+           "sqrt(list_dot_product({b}, {b}))), 6)")
+    resid = ("list_transform(generate_series(1, {dim}), "
+             "i -> {v}[i] - {c}[i])")
+    sql = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM emb),
+        cents(cell, c) AS (SELECT * FROM (VALUES {cent_rows})),
+        books(j, code, c) AS (SELECT * FROM (VALUES {book_rows})),
+        sims AS (
+          SELECT e.vec_id, cents.cell,
+                 {cos.format(a='e.v', b='cents.c')} AS csim
+          FROM e, cents),
+        assigned AS (
+          SELECT vec_id, cell FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+            FROM sims) WHERE rn = 1),
+        resid AS (
+          SELECT a.vec_id, a.cell,
+                 {resid.format(dim=dim, v='e.v', c='ct.c')} AS r
+          FROM assigned a JOIN e ON e.vec_id = a.vec_id
+          JOIN cents ct ON ct.cell = a.cell),
+        d2 AS (
+          SELECT resid.vec_id, b.j, b.code,
+                 list_distance(
+                   list_slice(resid.r, b.j * {dsub} + 1,
+                              (b.j + 1) * {dsub}), b.c) ** 2 AS d2
+          FROM resid, books b),
+        codes AS (
+          SELECT vec_id, j, code FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+            FROM d2) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id < 4),
+        scored AS (
+          SELECT q.query_id, cd.vec_id AS neighbor_id,
+                 round(sum(list_distance(
+                   list_slice(
+                     {resid.format(dim=dim, v='q.qv', c='ct.c')},
+                     cd.j * {dsub} + 1, (cd.j + 1) * {dsub}),
+                   b.c) ** 2), 6) AS adc_dist
+          FROM q
+          JOIN resid nb ON nb.vec_id != q.query_id
+          JOIN cents ct ON ct.cell = nb.cell
+          JOIN codes cd ON cd.vec_id = nb.vec_id
+          JOIN books b ON b.j = cd.j AND b.code = cd.code
+          GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, adc_dist,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY adc_dist, neighbor_id)::INTEGER AS rank
+        FROM scored QUALIFY rank <= 3
+    """
+    want = {
+        (int(qid), int(rank)): (int(nid), float(d))
+        for qid, nid, d, rank in con.sql(sql).fetchall()
+    }
+    assert got == want and len(want) == 12  # 4 queries x top-3

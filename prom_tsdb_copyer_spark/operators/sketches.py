@@ -110,3 +110,184 @@ def hll_cascade(
     for finer, coarser in zip(tiers, tiers[1:]):
         out[coarser] = hll_reaggregate(out[finer], series_cols, coarser)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Count-min frequency tiers (Cormode & Muthukrishnan 2005)
+#
+# The second classic mergeable sketch a continuous-aggregate store
+# carries (Druid/Pinot ship it next to HLL): per-bucket FREQUENCY
+# estimation over an unbounded key domain in fixed space. Where HLL's
+# merge law is estimate-identical, count-min's is LOSSLESS -- the
+# sketch is depth x width BIGINT counters and merging is elementwise
+# addition -- so the whole family (build, re-aggregate, estimate) is
+# exact integer algebra: fully DuckDB-twinnable and hash-gateable,
+# with the one-sided guarantee est >= true always.
+#
+# Spark-first shape: the sketch is not a binary blob but a RELATION
+# (series..., bucket_ms, row, slot, cnt) -- at most depth*width cells
+# per (series, bucket) group. Build is one explode(depth) + groupBy
+# whose map-side partial combine absorbs the Zipf head (same argument
+# as the LM token counts); re-aggregation is the numeric rollup's sum.
+# The hash is the repo's shared oracle-parity hash60 (functions/
+# hashing.py) salted by the row index; at 100TB it would swap for
+# xxhash64 exactly as documented there.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_slot(key: Column, row: Column, width: int) -> Column:
+    """Row-salted slot: hash60("<row>:<key>") % width. Non-negative by
+    construction (hash60 is a 60-bit value), so plain % == pmod in
+    both engines."""
+    from ..functions.hashing import hash60
+
+    return (
+        hash60(F.concat(row.cast("string"), F.lit(":"), key.cast("string")))
+        % F.lit(width)
+    )
+
+
+def cms_slot_sql(key_expr: str, row_expr: str, width: int) -> str:
+    """The identical slot computation in DuckDB SQL."""
+    from ..functions.hashing import hash60_sql
+
+    h = hash60_sql(f"({row_expr})::VARCHAR || ':' || ({key_expr})::VARCHAR")
+    return f"({h} % {width})"
+
+
+def cms_tier(
+    df: DataFrame,
+    series_cols: list[str],
+    tier: str | int,
+    key_col: str,
+    ts_col: str = "ts",
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Raw rows -> (series..., bucket_ms, row, slot, cnt): a count-min
+    sketch per (series, bucket) stored relationally. Rows where
+    `key_col` is null are skipped (a null key is 'no observation',
+    matching count(col) semantics).
+
+    Scale shape: explode(depth) multiplies the MAP side only -- the
+    partial aggregation combines per-cell before the shuffle, so at
+    most |groups| * depth * width rows move regardless of input size.
+    One shuffle, exactly the numeric rollup's topology."""
+    tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
+    prepared = df.where(F.col(key_col).isNotNull()).select(
+        *series_cols,
+        bucket_ms_col(F.col(ts_col), tier_ms).alias("bucket_ms"),
+        F.col(key_col).cast("string").alias("__k"),
+    )
+    exploded = prepared.select(
+        *series_cols,
+        "bucket_ms",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+        F.col("__k"),
+    )
+    return (
+        exploded.select(
+            *series_cols,
+            "bucket_ms",
+            F.col("row").cast("int").alias("row"),
+            _cms_slot(F.col("__k"), F.col("row"), width)
+            .cast("int")
+            .alias("slot"),
+        )
+        .groupBy(*series_cols, "bucket_ms", "row", "slot")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_reaggregate(
+    tier_df: DataFrame,
+    series_cols: list[str],
+    coarser: str | int,
+) -> DataFrame:
+    """Finer count-min tier -> coarser: re-bucket and ADD counters
+    elementwise. Unlike HLL this merge is LOSSLESS -- the coarser
+    sketch equals the one built directly from raw, cell for cell
+    (pinned in tests) -- because each cell is a plain count over a
+    disjoint row partition. Same one-shuffle shape as
+    rollup.reaggregate; the raw table is never touched again."""
+    coarser_ms = TIER_MS[coarser] if isinstance(coarser, str) else int(coarser)
+    rebucket = (
+        F.floor(F.col("bucket_ms") / F.lit(coarser_ms)) * F.lit(coarser_ms)
+    ).alias("bucket_ms")
+    return (
+        tier_df.select(*series_cols, rebucket, "row", "slot", "cnt")
+        .groupBy(*series_cols, "bucket_ms", "row", "slot")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch_df: DataFrame,
+    group_cols: list[str],
+    keys: list[str],
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Point-query the sketch: for each key in `keys` and each group in
+    `sketch_df`, est = min over rows of the key's cell (missing cell
+    == 0). Output (group_cols..., key, est) with the count-min
+    guarantee est >= true count, est <= true + eps*N w.h.p.
+
+    `keys` is a driver-side list (point queries are a small probe
+    set by definition); it becomes a depth*|keys| literal frame that
+    broadcasts, so the only distributed work is one left join from
+    the group relation and a min-fold -- no shuffle of the sketch
+    beyond its own grouping."""
+    spark = sketch_df.sparkSession
+    probes = spark.createDataFrame(
+        [(k, r) for k in keys for r in range(depth)], "key string, row int"
+    ).withColumn(
+        "slot", _cms_slot(F.col("key"), F.col("row"), width).cast("int")
+    )
+    groups = sketch_df.select(*group_cols).distinct()
+    # groups derives from sketch_df (self-join lineage): alias both
+    # sides so the join condition is unambiguous
+    probe_cells = groups.join(F.broadcast(probes)).alias("p")
+    s = sketch_df.alias("s")
+    # group keys may be null (e.g. a null series label): the join must
+    # be null-SAFE or null-keyed groups lose every cell and estimate 0,
+    # breaking the est >= true guarantee
+    cond = [
+        F.col(f"p.{c}").eqNullSafe(F.col(f"s.{c}")) for c in group_cols
+    ]
+    cond += [
+        F.col("p.row") == F.col("s.row"),
+        F.col("p.slot") == F.col("s.slot"),
+    ]
+    joined = probe_cells.join(s, cond, "left").select(
+        *[F.col(f"p.{c}") for c in group_cols],
+        F.col("p.key"),
+        F.coalesce(F.col("s.cnt"), F.lit(0)).alias("cnt"),
+    )
+    return joined.groupBy(*group_cols, "key").agg(
+        F.min("cnt").cast("long").alias("est")
+    )
+
+
+def cms_cascade(
+    df: DataFrame,
+    series_cols: list[str],
+    key_col: str,
+    tiers: tuple = ("1m", "1h", "1d"),
+    ts_col: str = "ts",
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> dict[str, DataFrame]:
+    """Count-min twin of `hll_cascade`: raw touched once by the finest
+    tier, every coarser tier sums the finer tier's cells."""
+    out: dict[str, DataFrame] = {}
+    finest = tiers[0]
+    out[finest] = cms_tier(
+        df, series_cols, finest, key_col, ts_col, width, depth
+    )
+    for finer, coarser in zip(tiers, tiers[1:]):
+        out[coarser] = cms_reaggregate(out[finer], series_cols, coarser)
+    return out

@@ -75,3 +75,154 @@ def test_cascade_shapes_and_monotonicity(spark, transcripts):
     assert "hll_sketch_agg" in plan  # the single finest-tier build
     # raw input scanned exactly once (1m builds from raw; 1h/1d union)
     assert plan.count("LocalTableScan") == 1
+
+
+def test_cms_merge_lossless_and_guarantee(spark, transcripts,
+                                          transcripts_pdf):
+    """Count-min law pins: (1) re-aggregated 1h sketch == the 1h sketch
+    built directly from raw, CELL FOR CELL (the merge is lossless
+    integer addition, unlike HLL's estimate-identity); (2) every point
+    estimate >= the exact count (the one-sided count-min guarantee);
+    (3) at this width/key-domain the estimates are near-exact (any
+    overestimate is an all-rows hash collision -- deterministic for the
+    fixed fixture+hash, bounded loosely so fixture edits don't flip
+    it)."""
+    from prom_tsdb_copyer_spark.operators.sketches import (
+        cms_estimate,
+        cms_reaggregate,
+        cms_tier,
+    )
+
+    t1m = cms_tier(transcripts, SERIES, "1m", "role")
+    merged = cms_reaggregate(t1m, SERIES, "1h")
+    direct = cms_tier(transcripts, SERIES, "1h", "role")
+
+    def cells(df):
+        return {
+            tuple(r[c] for c in [*SERIES, "bucket_ms", "row", "slot"]):
+                r["cnt"]
+            for r in df.collect()
+        }
+
+    m = cells(merged)
+    assert m == cells(direct) and m  # lossless merge
+
+    keys = sorted(transcripts_pdf["role"].dropna().unique())
+    est = {
+        (r["conv_id"], r["role"], r["tool"] or "<null>", r["bucket_ms"],
+         r["key"]): r["est"]
+        for r in cms_estimate(
+            merged, [*SERIES, "bucket_ms"], keys
+        ).collect()
+    }
+    p = transcripts_pdf.copy()
+    p["tool"] = p["tool"].fillna("<null>")
+    p["bucket_ms"] = (
+        (p["ts"].astype("int64") // 1_000_000) // 3_600_000
+    ) * 3_600_000
+    # within one (conv, role, tool, bucket) group every row shares the
+    # group's role, so exact(key) = group size when key == role else 0
+    sizes = p.groupby(["conv_id", "role", "tool", "bucket_ms"]).size()
+    over = 0
+    for (cid, role, tool, bms, key), e in est.items():
+        want = int(sizes.get((cid, role, tool, bms))) if key == role else 0
+        assert e >= want, ((cid, role, tool, bms, key), e, want)
+        over += int(e != want)
+    assert est and over <= max(2, len(est) // 50)
+
+
+def test_cms_vs_duckdb(spark, transcripts, transcripts_pdf):
+    """Gate-ready oracle SQL for the count-min family (r9 rotation
+    fuel): DuckDB recomputes the ENTIRE chain independently -- the
+    row-salted hash60 slots, the 1h sketch cells, and the min-over-rows
+    point estimates for a fixed probe set -- in exact BIGINTs. Lossless
+    integer algebra end to end: value-hash promotable."""
+    import duckdb
+
+    from prom_tsdb_copyer_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_estimate,
+        cms_slot_sql,
+        cms_tier,
+    )
+
+    t1h = cms_tier(transcripts, SERIES, "1h", "role")
+    got_cells = {
+        tuple(r[c] for c in [*SERIES, "bucket_ms", "row", "slot"]): r["cnt"]
+        for r in t1h.collect()
+    }
+    keys = sorted(transcripts_pdf["role"].dropna().unique())
+    got_est = {
+        tuple(r[c] for c in [*SERIES, "bucket_ms", "key"]): r["est"]
+        for r in cms_estimate(t1h, [*SERIES, "bucket_ms"], keys).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("transcripts", transcripts_pdf)
+    key_rows = ", ".join(f"('{k}')" for k in keys)
+    slot = cms_slot_sql("role", "r.row", CMS_WIDTH)
+    sketch_sql = f"""
+        WITH rows(row) AS (
+          SELECT unnest(generate_series(0, {CMS_DEPTH - 1}))),
+        cells AS (
+          SELECT conv_id, role, tool,
+                 (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+                 r.row::INTEGER AS row,
+                 ({slot})::INTEGER AS slot,
+                 count(*)::BIGINT AS cnt
+          FROM transcripts, rows r
+          WHERE role IS NOT NULL
+          GROUP BY 1, 2, 3, 4, 5, 6)
+    """
+    want_cells = {
+        (c, ro, t, int(b), int(rw), int(sl)): int(n)
+        for c, ro, t, b, rw, sl, n in con.sql(
+            sketch_sql + "SELECT * FROM cells"
+        ).fetchall()
+    }
+    assert got_cells == want_cells and got_cells
+
+    probe_slot = cms_slot_sql("k.key", "r.row", CMS_WIDTH)
+    est_sql = sketch_sql + f""",
+        keys(key) AS (SELECT * FROM (VALUES {key_rows})),
+        probes AS (
+          SELECT k.key, r.row::INTEGER AS row,
+                 ({probe_slot})::INTEGER AS slot
+          FROM keys k, rows r),
+        grps AS (SELECT DISTINCT conv_id, role, tool, bucket_ms
+                 FROM cells)
+        SELECT g.conv_id, g.role, g.tool, g.bucket_ms, p.key,
+               min(coalesce(c.cnt, 0))::BIGINT AS est
+        FROM grps g CROSS JOIN probes p
+        LEFT JOIN cells c
+          ON c.conv_id = g.conv_id AND c.role = g.role
+         AND (c.tool = g.tool OR (c.tool IS NULL AND g.tool IS NULL))
+         AND c.bucket_ms = g.bucket_ms
+         AND c.row = p.row AND c.slot = p.slot
+        GROUP BY 1, 2, 3, 4, 5
+    """
+    want_est = {
+        (c, ro, t, int(b), k): int(e)
+        for c, ro, t, b, k, e in con.sql(est_sql).fetchall()
+    }
+    assert got_est == want_est and got_est
+
+
+def test_cms_cascade_raw_touched_once(spark, transcripts):
+    """The 1d count-min tier's plan reads the raw input exactly once
+    (via the 1m build); coarser tiers are pure cell sums."""
+    import io
+    from contextlib import redirect_stdout
+
+    from prom_tsdb_copyer_spark.operators.sketches import cms_cascade
+
+    tiers = cms_cascade(transcripts, SERIES, "role")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        tiers["1d"].explain()
+    plan = buf.getvalue()
+    assert plan.count("LocalTableScan") == 1
+    total_1m = tiers["1m"].agg(F.sum("cnt").alias("s")).first()["s"]
+    total_1d = tiers["1d"].agg(F.sum("cnt").alias("s")).first()["s"]
+    assert total_1m == total_1d  # mass conservation through the merge

@@ -964,3 +964,93 @@ def bigram_logprob(
             F.coalesce("logp_mills", F.lit(0)).alias("logp_mills"),
         )
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "logp_mills",
+    n_col: str = "n_tokens",
+    lang_col: str | None = None,
+    fractions: tuple[float, float] = (1.0 / 3, 2.0 / 3),
+    mode: str = "rank",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.4):
+    split a scored corpus into `head` / `middle` / `tail` by LM
+    quality, per language when `lang_col` is given -- the filtering
+    stage CCNet runs after its KenLM scoring, here fed by
+    `unigram_logprob`/`bigram_logprob`'s (id, n_tokens, logp_mills).
+
+    Per-token quality is `pt_micros = floor(logp_mills * 1000.0 /
+    n_tokens)` -- micro-nats/token as BIGINT via a double floor that is
+    exact while |logp_mills| * 1000 < 2^53, identical in Spark and
+    DuckDB, so every downstream comparison is integer algebra (the
+    repo's hashed-gate discipline). Zero-token docs land in `tail`
+    with pt_micros NULL (junk by definition: nothing to score).
+
+    mode='rank' (exact, CCNet's actual sort): row_number over
+    (pt_micros DESC, id) per language; the best floor(n * f1) docs are
+    `head`, through floor(n * f2) `middle`, rest `tail`. ONE window
+    shuffle partitioned by language -- the same documented AQE-skew
+    sort-and-spill posture as `cap_per_group` (a hot language is the
+    operator's point); ties broken by id so the split is byte-stable
+    across partitionings. Fully DuckDB-twinnable.
+
+    mode='threshold' (scale path): per-language approx_percentile
+    cut-points -- a tiny aggregate broadcast back, NO global sort, the
+    same exact->sketch escape hatch as quantile_over_time(exact=False).
+    Buckets then come from two comparisons; the boundary docs may
+    differ from rank mode by the sketch error, which is the documented
+    trade."""
+    if mode not in ("rank", "threshold"):
+        raise ValueError(f"mode must be 'rank' or 'threshold', got {mode!r}")
+    f1, f2 = fractions
+    if not (0 < f1 < f2 < 1):
+        raise ValueError(f"need 0 < f1 < f2 < 1, got {fractions}")
+    langs = [lang_col] if lang_col else []
+    pt = F.when(
+        F.col(n_col) > 0,
+        F.floor(F.col(score_col) * 1000.0 / F.col(n_col)).cast("long"),
+    )
+    base = scored.select(
+        id_col, *langs, F.col(n_col).alias("__n"), pt.alias("pt_micros")
+    )
+    if mode == "rank":
+        part = Window.partitionBy(*langs) if langs else Window.partitionBy()
+        w = part.orderBy(F.col("pt_micros").desc_nulls_last(),
+                         F.col(id_col).asc())
+        ranked = base.select(
+            id_col,
+            *langs,
+            "pt_micros",
+            F.row_number().over(w).alias("__r"),
+            F.count(F.lit(1)).over(part).alias("__cnt"),
+        )
+        bucket = (
+            F.when(F.col("pt_micros").isNull(), F.lit("tail"))
+            .when(F.col("__r") <= F.floor(F.col("__cnt") * f1), "head")
+            .when(F.col("__r") <= F.floor(F.col("__cnt") * f2), "middle")
+            .otherwise("tail")
+        )
+        return ranked.select(
+            id_col, *langs, "pt_micros", bucket.alias("bucket")
+        )
+    # threshold mode: head needs pt >= p(1-f1) quantile, middle p(1-f2)
+    cuts = base.where(F.col("pt_micros").isNotNull()).groupBy(*langs).agg(
+        F.expr(f"approx_percentile(pt_micros, {1.0 - f1}, 10000)")
+        .alias("__t_hi"),
+        F.expr(f"approx_percentile(pt_micros, {1.0 - f2}, 10000)")
+        .alias("__t_lo"),
+    )
+    joined = (
+        base.join(F.broadcast(cuts), langs, "left")
+        if langs
+        else base.join(F.broadcast(cuts))
+    )
+    bucket = (
+        F.when(F.col("pt_micros").isNull(), F.lit("tail"))
+        .when(F.col("pt_micros") >= F.col("__t_hi"), "head")
+        .when(F.col("pt_micros") >= F.col("__t_lo"), "middle")
+        .otherwise("tail")
+    )
+    return joined.select(id_col, *langs, "pt_micros", bucket.alias("bucket"))

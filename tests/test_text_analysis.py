@@ -899,3 +899,108 @@ def test_dsir_weights_registry_pins_featurization(spark):
     assert len(reg) == 1 and reg[0].storageLevel.useMemory
     for c in reg:
         c.unpersist()
+
+
+def test_perplexity_buckets_rank_vs_duckdb(spark):
+    """CCNet head/middle/tail split, rank mode, against an independent
+    DuckDB twin of the whole law -- the per-token micro-nat floor, the
+    per-language (pt DESC, id) ranking, the floor(n*f) cut points, and
+    the zero-token -> tail rule. Integer algebra end to end (r9 gate
+    fuel)."""
+    import duckdb
+
+    from prom_tsdb_copyer_spark.operators.text import perplexity_buckets
+
+    rows = [
+        # (doc_id, lang, n_tokens, logp_mills): two languages with
+        # enough docs that every bucket is non-empty, a tie pair, and
+        # a zero-token doc
+        (i, lang, n, lp)
+        for i, (lang, n, lp) in enumerate(
+            [
+                ("en", 10, -25_000), ("en", 20, -30_000),
+                ("en", 10, -80_000), ("en", 5, -60_000),
+                ("en", 8, -16_000), ("en", 10, -25_000),
+                ("en", 0, 0), ("fr", 4, -10_000),
+                ("fr", 10, -90_000), ("fr", 7, -35_000),
+                ("fr", 9, -36_000), ("fr", 3, -33_000),
+            ]
+        )
+    ]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tokens long, logp_mills long"
+    )
+    got = {
+        r["doc_id"]: (r["lang"], r["pt_micros"], r["bucket"])
+        for r in perplexity_buckets(scored, lang_col="lang").collect()
+    }
+
+    con = duckdb.connect()
+    con.register("scored", scored.toPandas())
+    want = {
+        int(d): (lg, None if p is None else int(p), b)
+        for d, lg, p, b in con.sql("""
+            WITH pt AS (
+              SELECT doc_id, lang,
+                     CASE WHEN n_tokens > 0 THEN
+                       floor(logp_mills * 1000.0 / n_tokens)::BIGINT
+                     END AS pt_micros
+              FROM scored),
+            r AS (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY pt_micros DESC NULLS LAST, doc_id
+                     ) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS cnt
+              FROM pt)
+            SELECT doc_id, lang, pt_micros,
+                   CASE WHEN pt_micros IS NULL THEN 'tail'
+                        WHEN rn <= floor(cnt / 3.0) THEN 'head'
+                        WHEN rn <= floor(cnt * 2.0 / 3.0) THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM r
+        """).fetchall()
+    }
+    assert got == want and len(want) == 12
+    assert {b for _, _, b in got.values()} == {"head", "middle", "tail"}
+    assert got[6][2] == "tail"  # zero-token doc
+
+
+def test_perplexity_buckets_threshold_mode_and_pipeline(spark, docs):
+    """Threshold (scale) mode: no window over the corpus; buckets
+    monotone in pt_micros within a language; fractions approximately
+    honored; agrees with rank mode away from cut boundaries. Also runs
+    the composed pipeline shape: unigram_logprob -> buckets."""
+    from prom_tsdb_copyer_spark.operators.text import (
+        perplexity_buckets,
+        unigram_logprob,
+    )
+
+    scored = unigram_logprob(docs)
+    out = perplexity_buckets(scored, mode="threshold").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert set(by_id) == {0, 1, 2, 3, 4}
+    assert by_id[4]["bucket"] == "tail"  # empty doc
+    order = {"head": 2, "middle": 1, "tail": 0}
+    ranked = sorted(
+        (r for r in out if r["pt_micros"] is not None),
+        key=lambda r: -r["pt_micros"],
+    )
+    lvls = [order[r["bucket"]] for r in ranked]
+    assert lvls == sorted(lvls, reverse=True)  # monotone in quality
+
+    rank_out = {
+        r["doc_id"]: r["bucket"]
+        for r in perplexity_buckets(scored, mode="rank").collect()
+    }
+    # the best-scored doc must be head in BOTH modes at n=4 scored docs
+    assert rank_out[ranked[0]["doc_id"]] == "head"
+    assert by_id[ranked[0]["doc_id"]]["bucket"] == "head"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        perplexity_buckets(scored, mode="nope")
+    with _pytest.raises(ValueError):
+        perplexity_buckets(scored, fractions=(0.8, 0.2))

@@ -578,3 +578,111 @@ def series_list(
         for c in series_cols
     ]
     return sel.select(*cols).distinct().orderBy(*series_cols)
+
+
+def count_values(
+    df: DataFrame,
+    window: str | int,
+    series_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """PromQL `count_values` analog over raw samples: the distribution
+    of observed values per window -- (window_ms, value, n_samples,
+    n_series). PromQL's instant form counts series per value; over a
+    range this is the value histogram plus the distinct-series count
+    per value (two exact aggregates, BIGINT).
+
+    Scale shape: one groupBy(window, value) whose map-side partials
+    absorb repeated values; n_series is a two-stage distinct over
+    (window, value, series) -- the same countDistinct topology the
+    gated `distinct_series_per_day` pins. `series_cols` defaults to
+    nothing extra moving: the distinct runs over the concatenated
+    series key projection only when requested."""
+    from .windows import bucket_ms_col
+
+    w_ms = TIER_MS[window] if isinstance(window, str) else int(window)
+    base = df.select(
+        bucket_ms_col(F.col(ts_col), w_ms).alias("window_ms"),
+        F.col(value_col).alias("value"),
+        *(series_cols or []),
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_samples")]
+    if series_cols:
+        key = F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit(""))
+                      for c in series_cols]
+        )
+        aggs.append(
+            F.countDistinct(key).cast("long").alias("n_series")
+        )
+    return base.groupBy("window_ms", "value").agg(*aggs)
+
+
+def holt_winters_smooth(
+    df: DataFrame,
+    series_cols: list[str],
+    window: str | int,
+    sf: float = 0.5,
+    tf: float = 0.5,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """PromQL `holt_winters` (double exponential smoothing) per
+    (series, window): s_1 = x_1, b_1 = x_2 - x_1, then
+    s_t = sf*x_t + (1-sf)*(s_{t-1} + b_{t-1}),
+    b_t = tf*(s_t - s_{t-1}) + (1-tf)*b_{t-1}; the output is the last
+    smoothed level. Windows with < 2 samples emit NULL (PromQL drops
+    them; the row is kept so the caller sees the gap).
+
+    The recurrence is inherently sequential per group -- the one class
+    the declarative built-ins genuinely can't express -- so this is an
+    `applyInPandas` over (series, window) groups, the LTTB discipline:
+    Arrow-batched, each group's samples sorted by (ts, tiebreak), the
+    loop bounded by the window's sample count. Accumulated float state
+    means tolerance tests, never the hashed gate (the deriv rule)."""
+    if not (0 < sf < 1 and 0 < tf < 1):
+        raise ValueError(f"need 0 < sf,tf < 1, got sf={sf} tf={tf}")
+    import pandas as pd
+
+    from .windows import bucket_ms_col, unix_us
+
+    w_ms = TIER_MS[window] if isinstance(window, str) else int(window)
+    tb = list(tiebreak_cols or [])
+    base = df.select(
+        *series_cols,
+        bucket_ms_col(F.col(ts_col), w_ms).alias("window_ms"),
+        unix_us(F.col(ts_col)).alias("__us"),
+        *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(tb)],
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in base.schema
+        if f.name in series_cols
+    )
+    schema = (
+        f"{out_fields}, window_ms long, n_samples long, smoothed double"
+    )
+    sort_cols = ["__us"] + [f"__tb{i}" for i in range(len(tb))]
+    keys = [*series_cols, "window_ms"]
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        x = pdf["__v"].to_numpy()
+        head = pdf.iloc[[0]][keys].reset_index(drop=True)
+        if len(x) < 2:
+            head["n_samples"] = len(x)
+            head["smoothed"] = None
+            return head
+        s, b = x[0], x[1] - x[0]
+        for t in range(1, len(x)):
+            s_prev = s
+            s = sf * x[t] + (1.0 - sf) * (s + b)
+            b = tf * (s - s_prev) + (1.0 - tf) * b
+        head["n_samples"] = len(x)
+        head["smoothed"] = s
+        return head
+
+    return base.groupBy(*keys).applyInPandas(smooth, schema)

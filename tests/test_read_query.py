@@ -603,3 +603,83 @@ def test_deriv_vs_duckdb_tolerance(spark, transcripts, transcripts_pdf):
             assert v == g, k
         else:
             assert math.isclose(g, v, rel_tol=1e-6, abs_tol=1e-9), (k, g, v)
+
+
+def test_count_values_vs_duckdb(spark, transcripts, transcripts_pdf):
+    """count_values (value-distribution per window + distinct-series
+    count) against an independent DuckDB twin. Exact BIGINT counts over
+    double group keys -- grouping compares values bitwise in both
+    engines, so the twin is value-hash promotable (r9 gate fuel)."""
+    import duckdb
+
+    from prom_tsdb_copyer_spark.operators.query import count_values
+
+    got = {
+        (r["window_ms"], r["value"]): (r["n_samples"], r["n_series"])
+        for r in count_values(
+            transcripts, "1d", series_cols=SERIES
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("transcripts", transcripts_pdf)
+    sql = f"""
+        SELECT (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS window_ms,
+               value,
+               count(*)::BIGINT AS n_samples,
+               count(DISTINCT conv_id || chr(31) || role
+                     || chr(31) || coalesce(tool, ''))::BIGINT AS n_series
+        FROM transcripts GROUP BY 1, 2
+    """
+    want = {
+        (int(w), float(v)): (int(ns), int(nr))
+        for w, v, ns, nr in con.sql(sql).fetchall()
+    }
+    assert got == want and len(want) > 100
+
+
+def test_holt_winters_vs_scalar_reference(spark, transcripts,
+                                          transcripts_pdf):
+    """holt_winters_smooth == a pure-python recompute of the PromQL
+    double-exponential-smoothing recurrence on identically-sorted
+    samples; <2-sample windows emit NULL. Accumulated float state =>
+    tolerance comparison, off the hashed gate (the deriv rule)."""
+    import math
+
+    from prom_tsdb_copyer_spark.operators.query import holt_winters_smooth
+
+    sf, tf = 0.4, 0.3
+    got = {
+        (r["conv_id"], r["role"], r["tool"] or "<null>", r["window_ms"]):
+            (r["n_samples"], r["smoothed"])
+        for r in holt_winters_smooth(
+            transcripts, SERIES, "1d", sf=sf, tf=tf,
+            tiebreak_cols=["turn_idx"],
+        ).collect()
+    }
+    p = transcripts_pdf.copy()
+    p["tool"] = p["tool"].fillna("<null>")
+    p["us"] = p["ts"].astype("int64") // 1000
+    p["window_ms"] = (p["us"] // 1000 // DAY_MS) * DAY_MS
+    n_checked = 0
+    for key, g in p.groupby(["conv_id", "role", "tool", "window_ms"]):
+        g = g.sort_values(["us", "turn_idx"], kind="mergesort")
+        x = g["value"].to_numpy()
+        n, have = got[key]
+        assert n == len(x), key
+        if len(x) < 2:
+            assert have is None, key
+            continue
+        s, b = x[0], x[1] - x[0]
+        for t in range(1, len(x)):
+            s_prev = s
+            s = sf * x[t] + (1.0 - sf) * (s + b)
+            b = tf * (s - s_prev) + (1.0 - tf) * b
+        assert math.isclose(have, s, rel_tol=1e-9, abs_tol=1e-12), (
+            key, have, s,
+        )
+        n_checked += 1
+    assert n_checked > 50
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        holt_winters_smooth(transcripts, SERIES, "1d", sf=1.5)

@@ -153,6 +153,121 @@ def streaming_tier_cascade(
     )
 
 
+def streaming_hll_tier_1m(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    series_cols: list[str],
+    distinct_col: str,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    lgk: int | None = None,
+) -> DataFrame:
+    """Streaming leg of the mergeable-sketch tier family
+    (operators/sketches.py): a watermarked 1m HLL sketch per (series,
+    window). `hll_sketch_agg` is a JVM typed aggregate, so the state
+    store holds ONE bounded sketch buffer per open (series, minute)
+    group -- never the raw values -- and closed windows carry a sketch
+    that re-aggregates upward through `hll_reaggregate` exactly like
+    the batch cascade (sketches from the streaming and batch paths
+    obey the same union law; fixture-tested). Append mode: a window
+    emits once, when the watermark passes its end."""
+    from ..operators.sketches import DEFAULT_LGK
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .load(source_dir)
+    )
+    stream = _with_event_time(stream, ts_col)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 minute").alias("win"),
+                 *series_cols)
+        .agg(
+            F.hll_sketch_agg(
+                F.col(distinct_col), F.lit(lgk or DEFAULT_LGK)
+            ).alias("sketch")
+        )
+        .select(
+            F.unix_millis(F.col("win.start")).alias("bucket_ms"),
+            *series_cols,
+            "sketch",
+        )
+    )
+
+
+def streaming_cms_tier_1m(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    series_cols: list[str],
+    key_col: str,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    width: int | None = None,
+    depth: int | None = None,
+) -> DataFrame:
+    """Streaming count-min 1m tier: the stateless explode(depth) +
+    slot projection runs before the watermarked aggregation, so the
+    stateful operator sees (series, window, row, slot) cells and holds
+    one BIGINT per open cell -- at most depth*width state rows per
+    (series, minute) regardless of key cardinality or arrival rate.
+    Closed cells sum losslessly into coarser tiers via
+    `cms_reaggregate`, identical to the batch path (fixture-tested
+    cell-for-cell)."""
+    from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, _cms_slot
+
+    w = width or CMS_WIDTH
+    d = depth or CMS_DEPTH
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .load(source_dir)
+    )
+    stream = _with_event_time(stream, ts_col)
+    cells = (
+        stream.where(F.col(key_col).isNotNull())
+        .select(
+            *series_cols,
+            F.col(ts_col),
+            F.col(key_col).cast("string").alias("__k"),
+        )
+        .select(
+            *series_cols,
+            ts_col,
+            F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row"),
+            "__k",
+        )
+        .select(
+            *series_cols,
+            ts_col,
+            F.col("row").cast("int").alias("row"),
+            _cms_slot(F.col("__k"), F.col("row"), w).cast("int")
+            .alias("slot"),
+        )
+    )
+    return (
+        cells.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), "1 minute").alias("win"),
+            *series_cols,
+            "row",
+            "slot",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.unix_millis(F.col("win.start")).alias("bucket_ms"),
+            *series_cols,
+            "row",
+            "slot",
+            "cnt",
+        )
+    )
+
+
 def streaming_hist_tier_1m(
     spark: SparkSession,
     source_dir: str,

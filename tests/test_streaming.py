@@ -530,3 +530,66 @@ def test_compact_neardup_index_fs_and_missing_leg_guards(spark, tmp_path):
     assert "sets" not in compact_neardup_index(spark, str(root))
     # file:// scheme is local: accepted and resolved
     assert compact_neardup_index(spark, f"file://{root}") is not None
+
+
+def test_streaming_sketch_tiers_match_batch(spark, transcripts, tmp_path):
+    """Streaming HLL and count-min 1m tiers == the batch sketch tiers
+    on closed windows: HLL estimate-identical after the same
+    re-aggregation, count-min cell-for-cell (lossless). Also pins the
+    state-boundedness claim structurally: the streaming plan's
+    stateful aggregate runs over the PROJECTED cell/sketch rows, never
+    the raw values."""
+    from prom_tsdb_copyer_spark.operators.sketches import (
+        cms_tier,
+        hll_tier,
+        with_estimate,
+    )
+    from prom_tsdb_copyer_spark.operators.windows import MINUTE_MS, unix_ms
+    from prom_tsdb_copyer_spark.streaming.incremental import (
+        streaming_cms_tier_1m,
+        streaming_hll_tier_1m,
+    )
+
+    src = str(tmp_path / "src")
+    transcripts.write.parquet(src)
+    max_ts_ms = transcripts.agg(F.max(unix_ms(F.col("ts")))).first()[0]
+    wm_ms = max_ts_ms - 10 * MINUTE_MS
+    closed = F.col("bucket_ms") + MINUTE_MS <= wm_ms
+
+    # HLL leg
+    hll_stream = streaming_hll_tier_1m(
+        spark, src, transcripts.schema, SERIES, "text"
+    )
+    out1, ck1 = str(tmp_path / "hll_out"), str(tmp_path / "hll_ck")
+    run_available_now(hll_stream, out1, ck1).awaitTermination(300)
+    got_est = {
+        tuple(r[c] for c in [*SERIES, "bucket_ms"]): r["n_distinct"]
+        for r in with_estimate(
+            spark.read.parquet(out1).drop("part_day")
+        ).collect()
+    }
+    want_est = {
+        tuple(r[c] for c in [*SERIES, "bucket_ms"]): r["n_distinct"]
+        for r in with_estimate(
+            hll_tier(transcripts, SERIES, "1m", "text").where(closed)
+        ).collect()
+    }
+    assert got_est == want_est and got_est
+
+    # count-min leg (lossless: exact cell equality)
+    cms_stream = streaming_cms_tier_1m(
+        spark, src, transcripts.schema, SERIES, "role"
+    )
+    out2, ck2 = str(tmp_path / "cms_out"), str(tmp_path / "cms_ck")
+    run_available_now(cms_stream, out2, ck2).awaitTermination(300)
+    got_cells = {
+        tuple(r[c] for c in [*SERIES, "bucket_ms", "row", "slot"]): r["cnt"]
+        for r in spark.read.parquet(out2).drop("part_day").collect()
+    }
+    want_cells = {
+        tuple(r[c] for c in [*SERIES, "bucket_ms", "row", "slot"]): r["cnt"]
+        for r in cms_tier(transcripts, SERIES, "1m", "role")
+        .where(closed)
+        .collect()
+    }
+    assert got_cells == want_cells and got_cells

@@ -8,6 +8,7 @@ designed to compose in, tests/test_pipeline_e2e.py):
     scrub-pii -> line-dedup -> exact-dedup -> span-scrub ->
     near-dedup(minhash) -> decontaminate -> cap(per-source) ->
     quality-filter(gopher) -> lm-quality(unigram) ->
+    lm-bucket(CCNet head/middle/tail) ->
     select(DSIR importance resampling) -> chunk -> pack
 
 Input: a documents parquet (doc_id, text, ...); output: a cleaned
@@ -34,7 +35,8 @@ from pyspark.sql import functions as F
 
 STAGES = (
     "scrub", "line-dedup", "dedup", "span-scrub", "neardup",
-    "decontaminate", "cap", "quality", "lm-quality", "select",
+    "decontaminate", "cap", "quality", "lm-quality", "lm-bucket",
+    "select",
 )
 
 #: chunk_idx headroom in the arithmetic (doc_id, chunk_idx) ->
@@ -109,6 +111,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--lm-min-mills", type=int, default=-12000, metavar="MILLS",
         help="lm-quality keeps docs with mean token logprob >= this"
              " (milli-nats/token; corpus-self-trained unigram LM)",
+    )
+    p.add_argument(
+        "--lm-keep-buckets", default="head,middle", metavar="B1,B2",
+        help="lm-bucket keeps docs in these CCNet perplexity buckets"
+             " (of head,middle,tail)",
+    )
+    p.add_argument(
+        "--lm-bucket-mode", default="threshold",
+        choices=("threshold", "rank"),
+        help="lm-bucket split rule: approx-percentile thresholds (no"
+             " global sort; the scale default) or the exact CCNet rank",
     )
     p.add_argument(
         "--select-target", default=None, metavar="PARQUET",
@@ -290,6 +303,21 @@ def _assemble_stages(spark, args, stages, docs, report, caches, pin):
         docs = pin(
             docs.join(ok, "doc_id", "left_semi"), "lm-quality"
         )
+    if "lm-bucket" in stages:
+        from .operators.text import perplexity_buckets, unigram_logprob
+
+        keep = [b.strip() for b in args.lm_keep_buckets.split(",")
+                if b.strip()]
+        bad = [b for b in keep if b not in ("head", "middle", "tail")]
+        if bad:
+            raise SystemExit(f"unknown perplexity buckets: {bad}")
+        # scored on THIS stage's input (post lm-quality, if it ran):
+        # CCNet buckets the corpus that survives the hard filters
+        buckets = perplexity_buckets(
+            unigram_logprob(docs), mode=args.lm_bucket_mode
+        )
+        ok = buckets.where(F.col("bucket").isin(keep)).select("doc_id")
+        docs = pin(docs.join(ok, "doc_id", "left_semi"), "lm-bucket")
     if "select" in stages:
         from .operators.text import dsir_resample
 

@@ -303,3 +303,46 @@ def test_pipeline_select_stage(spark, tmp_path):
             "--source", src, "--target", str(tmp_path / "out3"),
             "--stages", "select",
         ]))
+
+
+def test_pipeline_lm_bucket_stage(spark, tmp_path):
+    """The lm-bucket stage (CCNet perplexity split, r8) drops the tail
+    bucket by default, keeps head-only when asked, scores the corpus
+    that SURVIVES earlier stages, and validates its bucket names."""
+    import pytest
+
+    # natural-ish docs (head/middle material) + repetitive junk whose
+    # tokens are rare under the self-trained LM (tail material)
+    good = [(i, "the cat sat on the mat and the dog slept " * 3
+             + f"v{i}") for i in range(12)]
+    junk = [(50 + i, f"zq{i}x vw{i}q jj{i}k pp{i}m " * 8)
+            for i in range(6)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(good + junk, "doc_id long, text string") \
+        .write.parquet(src)
+
+    argv = [
+        "--source", src, "--target", str(tmp_path / "out"),
+        "--stages", "lm-bucket",
+    ]
+    report = run_pipeline(spark, build_parser().parse_args(argv))
+    n = report["stages"]["lm-bucket"]
+    assert 0 < n < 18 and report["rows_out"] == n  # tail dropped
+
+    argv_head = [
+        "--source", src, "--target", str(tmp_path / "out_head"),
+        "--stages", "lm-bucket", "--lm-keep-buckets", "head",
+        "--lm-bucket-mode", "rank",
+    ]
+    rep_head = run_pipeline(spark, build_parser().parse_args(argv_head))
+    assert 0 < rep_head["stages"]["lm-bucket"] <= n
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "out_head")).collect()}
+    # rank-mode head = best floor(18/3) = 6 docs; junk can't be head
+    assert len(kept) == 6 and all(i < 50 for i in kept)
+
+    with pytest.raises(SystemExit, match="unknown perplexity buckets"):
+        run_pipeline(spark, build_parser().parse_args([
+            "--source", src, "--target", str(tmp_path / "out2"),
+            "--stages", "lm-bucket", "--lm-keep-buckets", "best",
+        ]))

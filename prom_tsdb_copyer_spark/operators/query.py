@@ -686,3 +686,63 @@ def holt_winters_smooth(
         return head
 
     return base.groupBy(*keys).applyInPandas(smooth, schema)
+
+
+def mad_over_time(
+    raw: DataFrame,
+    series_cols: list[str],
+    window,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    exact: bool = True,
+) -> DataFrame:
+    """PromQL `mad_over_time` per (series, window): median absolute
+    deviation around the median, from RAW samples. Two selection
+    aggregates -- the per-window median, then the median of
+    |x - median| -- so like quantile_over_time the result is an
+    order-independent multiset selection, not an accumulated float
+    sum (DuckDB-twinnable; the interpolation law is the one the
+    quantile twin already pins).
+
+    Scale shape: the median join is per (series, window) -- the
+    grouping the second aggregation needs anyway -- so the extra pass
+    is one shuffle-free rejoin on an already-partitioned key plus one
+    more grouped aggregate; `exact=False` swaps both percentiles for
+    the bounded-memory sketch (the quantile_over_time escape hatch).
+
+    Output: (series..., window_ms, n_samples, mad)."""
+    from .windows import bucket_ms_col
+
+    w_ms = TIER_MS[window] if isinstance(window, str) else int(window)
+    base = raw.select(
+        *series_cols,
+        bucket_ms_col(F.col(ts_col), w_ms).alias("window_ms"),
+        F.col(value_col).alias("__v"),
+    )
+    med_agg = (
+        F.percentile(F.col("__v"), F.lit(0.5))
+        if exact
+        else F.percentile_approx(F.col("__v"), F.lit(0.5))
+    )
+    keys = [*series_cols, "window_ms"]
+    med = base.groupBy(*keys).agg(
+        med_agg.alias("__med"),
+        F.count(F.col("__v")).alias("n_samples"),
+    )
+    dev = base.alias("b").join(
+        med.alias("m"),
+        [F.col(f"b.{k}").eqNullSafe(F.col(f"m.{k}")) for k in keys],
+    ).select(
+        *[F.col(f"b.{k}") for k in keys],
+        F.col("m.n_samples").alias("n_samples"),
+        F.abs(F.col("b.__v") - F.col("m.__med")).alias("__d"),
+    )
+    dev_agg = (
+        F.percentile(F.col("__d"), F.lit(0.5))
+        if exact
+        else F.percentile_approx(F.col("__d"), F.lit(0.5))
+    )
+    return dev.groupBy(*keys).agg(
+        F.first("n_samples").alias("n_samples"),
+        dev_agg.alias("mad"),
+    )

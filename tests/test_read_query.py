@@ -683,3 +683,45 @@ def test_holt_winters_vs_scalar_reference(spark, transcripts,
 
     with _pytest.raises(ValueError):
         holt_winters_smooth(transcripts, SERIES, "1d", sf=1.5)
+
+
+def test_mad_over_time_vs_duckdb(spark, transcripts, transcripts_pdf):
+    """mad_over_time == an independent DuckDB recompute (median, then
+    median of absolute deviations, both quantile_cont -- the same
+    interpolation law the quantile twin pins). Selection aggregates,
+    order-independent: r9 gate fuel."""
+    import duckdb
+
+    from prom_tsdb_copyer_spark.operators.query import mad_over_time
+
+    got = {
+        tuple(r[c] for c in [*SERIES, "window_ms"]):
+            (r["n_samples"], round(r["mad"], 6))
+        for r in mad_over_time(transcripts, SERIES, "1d").collect()
+    }
+    con = duckdb.connect()
+    con.register("transcripts", transcripts_pdf)
+    sql = f"""
+        WITH b AS (
+          SELECT conv_id, role, tool, value,
+                 (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS window_ms
+          FROM transcripts),
+        med AS (
+          SELECT conv_id, role, tool, window_ms,
+                 quantile_cont(value, 0.5) AS med,
+                 count(value) AS n
+          FROM b GROUP BY 1, 2, 3, 4)
+        SELECT b.conv_id, b.role, b.tool, b.window_ms,
+               any_value(med.n) AS n_samples,
+               round(quantile_cont(abs(b.value - med.med), 0.5), 6) AS mad
+        FROM b JOIN med
+          ON b.conv_id = med.conv_id AND b.role = med.role
+         AND (b.tool = med.tool OR (b.tool IS NULL AND med.tool IS NULL))
+         AND b.window_ms = med.window_ms
+        GROUP BY 1, 2, 3, 4
+    """
+    want = {
+        (c, r, t, int(w)): (int(n), round(float(m), 6))
+        for c, r, t, w, n, m in con.sql(sql).fetchall()
+    }
+    assert got == want and len(want) > 100

@@ -277,6 +277,15 @@ def run_bench() -> dict:
             transcripts, ["role", "tool"], "1h", "conv_id"
         ).count()
 
+    from prom_tsdb_copyer_spark.operators.sketches import bloom_tier
+
+    def bloom_1h():
+        # third sketch of the family (r8): membership bits over the
+        # same real-cardinality conv_id payload
+        return bloom_tier(
+            transcripts, ["role", "tool"], "1h", "conv_id"
+        ).count()
+
     # the large-n_cells broadcast-kernel path (VERDICT r6 #2): (a) the
     # same IVF-PQ query forced through the broadcast ADC/residual
     # kernels -- at toy scale the literal path is plan-analysis-bound,
@@ -348,6 +357,7 @@ def run_bench() -> dict:
         ("ivfpq_probe_pruned_1k", pruned_probe(32)),
         ("hll_tier_1h", hll_1h),
         ("cms_tier_1h", cms_1h),
+        ("bloom_tier_1h", bloom_1h),
     ):
         runs = [timed(fn)[0] for _ in range(3)]
         queries[nm] = round(min(runs), 3)

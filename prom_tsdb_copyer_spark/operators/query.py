@@ -746,3 +746,120 @@ def mad_over_time(
         F.first("n_samples").alias("n_samples"),
         dev_agg.alias("mad"),
     )
+
+
+def last_over_time(
+    df: DataFrame,
+    series_cols: list[str],
+    window: str | int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """PromQL last_over_time()/count_over_time()/present_over_time()
+    in one relation over RAW samples: per (series, window) the most
+    recent sample's value and timestamp, the sample count, and the
+    present flag (trivially true on emitted rows -- it exists so a
+    caller can left-join a window calendar and read false on the
+    misses; `absent_over_time` below materializes that calendar).
+
+    One groupBy with max_by on a (time, tiebreak...) struct -- the
+    tier rollup's last_val law generalized to an explicit window, no
+    window function, one shuffle with map-side combine. Selections and
+    counts only (no accumulated floats): DuckDB-twinnable and
+    hash-gateable."""
+    from .windows import TIER_MS, bucket_ms_col, unix_us
+
+    w_ms = TIER_MS[window] if isinstance(window, str) else int(window)
+    ord_key = F.struct(
+        unix_us(F.col(ts_col)).alias("_t"),
+        *[F.col(c) for c in (tiebreak_cols or [])],
+    )
+    prepared = df.select(
+        *series_cols,
+        bucket_ms_col(F.col(ts_col), w_ms).alias("window_ms"),
+        F.col(value_col).alias("_v"),
+        ord_key.alias("_ord"),
+    )
+    return prepared.groupBy(*series_cols, "window_ms").agg(
+        F.max_by("_v", F.col("_ord")).alias("last_val"),
+        F.max(F.col("_ord._t")).alias("last_ts_us"),
+        F.count("_v").alias("cnt"),
+        F.lit(True).alias("present"),
+    )
+
+
+def absent_over_time(
+    df: DataFrame,
+    series_cols: list[str],
+    window: str | int,
+    ts_col: str = "ts",
+    range_ms: tuple[int, int] | None = None,
+) -> DataFrame:
+    """PromQL absent_over_time(): per (series, window) over a dense
+    window calendar, flag the windows in which the series emitted NO
+    samples. The series universe is the distinct series observed in
+    `df` (a series the selection never saw cannot be enumerated --
+    PromQL has the same limitation: absent() answers per selector).
+
+    `range_ms=(lo, hi)` bounds the calendar to the query range
+    ([lo, hi), window-aligned); default is each series' own observed
+    extent (the gapfill bound -- load-bearing at scale, an unbounded
+    calendar over the table extent would dwarf the data). Shape: one
+    aggregate for counts, one tiny per-series bounds aggregate ->
+    sequence/explode calendar -> null-safe left join (gapfill_locf's
+    topology exactly). Integer/boolean algebra: DuckDB-twinnable."""
+    from .windows import TIER_MS, bucket_ms_col
+
+    w_ms = TIER_MS[window] if isinstance(window, str) else int(window)
+    counts = (
+        df.select(
+            *series_cols,
+            bucket_ms_col(F.col(ts_col), w_ms).alias("window_ms"),
+        )
+        .groupBy(*series_cols, "window_ms")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if range_ms is not None:
+        lo, hi = range_ms
+        lo = (int(lo) // w_ms) * w_ms
+        last = ((int(hi) - 1) // w_ms) * w_ms
+        if last < lo:
+            raise ValueError(f"empty range {range_ms} at window {w_ms}")
+        calendar = counts.select(*series_cols).distinct().select(
+            *series_cols,
+            F.explode(
+                F.sequence(
+                    F.lit(lo).cast("long"),
+                    F.lit(last).cast("long"),
+                    F.lit(w_ms).cast("long"),
+                )
+            ).alias("window_ms"),
+        )
+        counts = counts.where(
+            (F.col("window_ms") >= lo) & (F.col("window_ms") <= last)
+        )
+    else:
+        bounds = counts.groupBy(*series_cols).agg(
+            F.min("window_ms").alias("_lo"), F.max("window_ms").alias("_hi")
+        )
+        calendar = bounds.select(
+            *series_cols,
+            F.explode(
+                F.sequence(
+                    F.col("_lo"), F.col("_hi"), F.lit(w_ms).cast("long")
+                )
+            ).alias("window_ms"),
+        )
+    right = counts
+    for c in [*series_cols, "window_ms", "cnt"]:
+        right = right.withColumnRenamed(c, f"_r_{c}")
+    cond = F.lit(True)
+    for c in [*series_cols, "window_ms"]:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_r_{c}"))
+    return calendar.join(right, on=cond, how="left").select(
+        *series_cols,
+        "window_ms",
+        F.col("_r_cnt").isNull().alias("absent"),
+        F.coalesce(F.col("_r_cnt"), F.lit(0)).cast("long").alias("cnt"),
+    )

@@ -162,3 +162,52 @@ def cascade(
         prev = reaggregate(prev, series_cols, tier)
         out[tier] = prev
     return out
+
+
+def aggregate_by_labels(
+    tier_df: DataFrame,
+    series_cols: list[str],
+    by: list[str] | None = None,
+    without: list[str] | None = None,
+) -> DataFrame:
+    """PromQL aggregation across series at a tier grain: ``sum by
+    (labels) (metric)`` / ``... without (labels)`` re-expressed over
+    the materialized tier table (query.py reads tiers, never raw --
+    the continuous-aggregate contract).
+
+    Exactly one of `by`/`without` names the label dims to keep; the
+    rest are aggregated away. Output: (kept..., bucket_ms, n_series,
+    cnt, sum_val, min_val, max_val) -- the PromQL sum/count/min/max
+    family in one relation, plus n_series (PromQL's ``count by`` is a
+    count of SERIES, not samples; cnt carries the sample count).
+    first/last are dropped: their order keys are per-series and PromQL
+    defines no cross-series "first" either.
+
+    Scale shape: one groupBy on (kept labels, bucket) whose inputs are
+    |tier| rows (not raw samples); all aggregates are algebraic so the
+    map-side partial combine absorbs the fan-in, and a hot label value
+    (every series sharing one `role`, say) is exactly the AQE-skew
+    posture the cascade already documents. Lossless integer/min-max
+    algebra -- DuckDB-twinnable and hash-gateable."""
+    if (by is None) == (without is None):
+        raise ValueError("exactly one of by=/without= must be given")
+    if by is not None:
+        unknown = [c for c in by if c not in series_cols]
+        if unknown:
+            raise ValueError(f"by labels not in series_cols: {unknown}")
+        kept = [c for c in series_cols if c in by]
+    else:
+        unknown = [c for c in without if c not in series_cols]
+        if unknown:
+            raise ValueError(f"without labels not in series_cols: {unknown}")
+        kept = [c for c in series_cols if c not in without]
+    return (
+        tier_df.groupBy(*kept, "bucket_ms")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_series"),
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.sum("sum_val").alias("sum_val"),
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+        )
+    )

@@ -291,3 +291,175 @@ def cms_cascade(
     for finer, coarser in zip(tiers, tiers[1:]):
         out[coarser] = cms_reaggregate(out[finer], series_cols, coarser)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership tiers (Bloom 1970)
+#
+# The third classic mergeable sketch of the continuous-aggregate
+# family: per-bucket SET MEMBERSHIP over an unbounded key domain in
+# fixed space ("did conversation X use tool Y during this hour?"
+# without storing the hour's key set). Completes the trio the sketch
+# stores ship together: HLL answers "how many distinct", count-min
+# answers "how often", Bloom answers "was it there at all".
+#
+# Merge law: OR-ing two Bloom filters over disjoint (or ANY) row sets
+# yields exactly the filter of the union -- and OR is idempotent, so
+# the merge is not just lossless like count-min's addition but also
+# replay-safe (merging the same finer bucket twice cannot corrupt the
+# coarser cell, unlike a counter sum). Stored relationally the filter
+# is the DISTINCT set of set-bit positions (series..., bucket_ms,
+# bit), <= m rows per group; OR == distinct union of positions, so
+# re-aggregation is a re-bucket + distinct -- one shuffle with
+# map-side partial dedup, the numeric rollup's topology.
+#
+# Guarantee (pinned in tests): NO false negatives -- a key observed in
+# the group always probes true; false positives bounded by the usual
+# (1 - e^{-kn/m})^k. Bits use the shared oracle-parity hash60 salted
+# by the hash index (the count-min discipline), so the whole chain --
+# bits, merge, membership -- recomputes exactly in DuckDB.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1024
+BLOOM_HASHES = 4
+
+
+def bloom_bit_sql(key_expr: str, i_expr: str, m_bits: int) -> str:
+    """The identical bit computation in DuckDB SQL (same salted slot
+    law as count-min: hash60("<i>:<key>") % m)."""
+    return cms_slot_sql(key_expr, i_expr, m_bits)
+
+
+def bloom_tier(
+    df: DataFrame,
+    series_cols: list[str],
+    tier: str | int,
+    key_col: str,
+    ts_col: str = "ts",
+    m_bits: int = BLOOM_BITS,
+    k_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Raw rows -> (series..., bucket_ms, bit): one Bloom filter per
+    (series, bucket) stored as its distinct set-bit positions. Null
+    keys are 'no observation' (the count-min convention).
+
+    Scale shape: explode(k) multiplies the MAP side only; the distinct
+    is a hash aggregate whose partial combine dedups before the
+    shuffle, so at most |groups| * min(m, k*|group keys|) rows move
+    regardless of input size. One shuffle, the rollup's topology."""
+    tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
+    prepared = df.where(F.col(key_col).isNotNull()).select(
+        *series_cols,
+        bucket_ms_col(F.col(ts_col), tier_ms).alias("bucket_ms"),
+        F.col(key_col).cast("string").alias("__k"),
+    )
+    return (
+        prepared.select(
+            *series_cols,
+            "bucket_ms",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(k_hashes - 1))
+            ).alias("__i"),
+            "__k",
+        )
+        .select(
+            *series_cols,
+            "bucket_ms",
+            _cms_slot(F.col("__k"), F.col("__i"), m_bits)
+            .cast("int")
+            .alias("bit"),
+        )
+        .distinct()
+    )
+
+
+def bloom_reaggregate(
+    tier_df: DataFrame,
+    series_cols: list[str],
+    coarser: str | int,
+) -> DataFrame:
+    """Finer Bloom tier -> coarser: re-bucket and OR the filters,
+    which relationally is a distinct union of bit positions. LOSSLESS
+    (coarser == built-directly-from-raw, cell for cell) AND IDEMPOTENT
+    (replaying a finer bucket cannot corrupt the merge) -- both pinned
+    in tests. Same one-shuffle shape as rollup.reaggregate; raw is
+    never touched again."""
+    coarser_ms = TIER_MS[coarser] if isinstance(coarser, str) else int(coarser)
+    rebucket = (
+        F.floor(F.col("bucket_ms") / F.lit(coarser_ms)) * F.lit(coarser_ms)
+    ).alias("bucket_ms")
+    return tier_df.select(*series_cols, rebucket, "bit").distinct()
+
+
+def bloom_contains(
+    sketch_df: DataFrame,
+    group_cols: list[str],
+    keys: list[str],
+    m_bits: int = BLOOM_BITS,
+    k_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Membership-probe the sketch: for each key in `keys` and each
+    group present in `sketch_df`, member := ALL of the key's k bit
+    positions are set. Output (group_cols..., key, member) with the
+    Bloom guarantee: member is never false for a key the group
+    actually contained (no false negatives); a true may be a false
+    positive with the standard bounded probability.
+
+    `keys` is a driver-side probe list (point queries); its bit frame
+    is pre-deduped per key (two of the k hashes may collide on one
+    bit -- requiring k matches would then break the no-false-negative
+    guarantee) and broadcast, so the only distributed work is one left
+    join from the group relation and a bool_and fold."""
+    spark = sketch_df.sparkSession
+    probes = (
+        spark.createDataFrame(
+            [(key, i) for key in keys for i in range(k_hashes)],
+            "key string, i int",
+        )
+        .select(
+            "key",
+            _cms_slot(F.col("key"), F.col("i"), m_bits)
+            .cast("int")
+            .alias("bit"),
+        )
+        .distinct()
+    )
+    groups = sketch_df.select(*group_cols).distinct()
+    probe_cells = groups.join(F.broadcast(probes)).alias("p")
+    s = sketch_df.alias("s")
+    # group labels may be null (the cms_estimate discipline): null-safe
+    # join or null-labeled groups lose every bit and probe false,
+    # breaking the no-false-negative guarantee
+    cond = [
+        F.col(f"p.{c}").eqNullSafe(F.col(f"s.{c}")) for c in group_cols
+    ]
+    cond += [F.col("p.bit") == F.col("s.bit")]
+    joined = probe_cells.join(s, cond, "left").select(
+        *[F.col(f"p.{c}") for c in group_cols],
+        F.col("p.key"),
+        F.col("s.bit").isNotNull().alias("_hit"),
+    )
+    return joined.groupBy(*group_cols, "key").agg(
+        F.bool_and("_hit").alias("member")
+    )
+
+
+def bloom_cascade(
+    df: DataFrame,
+    series_cols: list[str],
+    key_col: str,
+    tiers: tuple = ("1m", "1h", "1d"),
+    ts_col: str = "ts",
+    m_bits: int = BLOOM_BITS,
+    k_hashes: int = BLOOM_HASHES,
+) -> dict[str, DataFrame]:
+    """Bloom twin of `hll_cascade`/`cms_cascade`: raw touched once by
+    the finest tier, every coarser tier ORs the finer tier's bits."""
+    out: dict[str, DataFrame] = {}
+    finest = tiers[0]
+    out[finest] = bloom_tier(
+        df, series_cols, finest, key_col, ts_col, m_bits, k_hashes
+    )
+    for finer, coarser in zip(tiers, tiers[1:]):
+        out[coarser] = bloom_reaggregate(out[finer], series_cols, coarser)
+    return out

@@ -725,3 +725,117 @@ def test_mad_over_time_vs_duckdb(spark, transcripts, transcripts_pdf):
         for c, r, t, w, n, m in con.sql(sql).fetchall()
     }
     assert got == want and len(want) > 100
+
+
+def test_last_over_time_vs_duckdb(spark, transcripts, transcripts_pdf):
+    """Gate-ready oracle SQL for last/count/present_over_time (r9
+    rotation fuel): DuckDB recomputes the law independently -- arg_max
+    by sample time per (series, day window) plus the sample count.
+    Selections and integer counts only: value-hash promotable. The
+    fixture's per-series timestamps are strictly increasing
+    (FIXTURES.md §1) so the time order key is unique; ties in other
+    data are broken by `tiebreak_cols` (exercised in the absent test's
+    composed path)."""
+    import duckdb
+
+    from prom_tsdb_copyer_spark.operators.query import last_over_time
+
+    got = {
+        tuple(r[c] for c in [*SERIES, "window_ms"]): (
+            r["last_val"], int(r["last_ts_us"]), int(r["cnt"]), r["present"]
+        )
+        for r in last_over_time(transcripts, SERIES, "1d").collect()
+    }
+    con = duckdb.connect()
+    con.register("transcripts", transcripts_pdf)
+    sql = f"""
+        SELECT conv_id, role, tool,
+               (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS window_ms,
+               arg_max(value, epoch_us(ts)) AS last_val,
+               max(epoch_us(ts)) AS last_ts_us,
+               count(value) AS cnt,
+               TRUE AS present
+        FROM transcripts
+        GROUP BY 1, 2, 3, 4
+    """
+    want = {
+        (c, r, t, int(w)): (float(v), int(u), int(n), bool(p))
+        for c, r, t, w, v, u, n, p in con.sql(sql).fetchall()
+    }
+    assert got == want and len(want) > 100
+
+
+def test_absent_over_time_vs_duckdb(spark, transcripts, transcripts_pdf):
+    """absent_over_time over an explicit query range: DuckDB twin
+    builds the same window calendar (generate_series over the aligned
+    range x distinct observed series) and left-joins per-window
+    counts; absent == no samples. Planted coverage: the fixture's
+    conversations are bursty at day grain, so BOTH values of `absent`
+    must occur (asserted) -- and the per-series default-extent variant
+    must agree with gapfill's bounded-calendar law (no absent=True row
+    outside a gap)."""
+    import duckdb
+
+    from prom_tsdb_copyer_spark.operators.query import absent_over_time
+
+    p = transcripts_pdf
+    lo = int(p["ts"].astype("int64").min() // 1_000_000)
+    hi = int(p["ts"].astype("int64").max() // 1_000_000) + 1
+    got = {
+        tuple(r[c] for c in [*SERIES, "window_ms"]): (
+            bool(r["absent"]), int(r["cnt"])
+        )
+        for r in absent_over_time(
+            transcripts, SERIES, 6 * 3_600_000, range_ms=(lo, hi)
+        ).collect()
+    }
+    assert any(a for a, _ in got.values())
+    assert any(not a for a, _ in got.values())
+
+    w_ms = 6 * 3_600_000
+    lo_al = (lo // w_ms) * w_ms
+    last = ((hi - 1) // w_ms) * w_ms
+    con = duckdb.connect()
+    con.register("transcripts", p)
+    sql = f"""
+        WITH counts AS (
+          SELECT conv_id, role, tool,
+                 (epoch_ms(ts) // {w_ms}) * {w_ms} AS window_ms,
+                 count(*) AS cnt
+          FROM transcripts GROUP BY 1, 2, 3, 4),
+        cal AS (
+          SELECT DISTINCT conv_id, role, tool, w.window_ms
+          FROM counts, (SELECT unnest(generate_series(
+                 {lo_al}, {last}, {w_ms})) AS window_ms) w)
+        SELECT cal.conv_id, cal.role, cal.tool, cal.window_ms,
+               c.cnt IS NULL AS absent,
+               coalesce(c.cnt, 0) AS cnt
+        FROM cal LEFT JOIN counts c
+          ON c.conv_id = cal.conv_id AND c.role = cal.role
+         AND (c.tool = cal.tool OR (c.tool IS NULL AND cal.tool IS NULL))
+         AND c.window_ms = cal.window_ms
+    """
+    want = {
+        (c, r, t, int(w)): (bool(a), int(n))
+        for c, r, t, w, a, n in con.sql(sql).fetchall()
+    }
+    assert got == want and len(want) > len(
+        {k[:3] for k in want}
+    )  # calendar is dense: more rows than series
+
+    # default (per-series extent) variant: absent rows are exactly the
+    # interior gaps -- never before the first or after the last sample
+    dflt = absent_over_time(transcripts, SERIES, 6 * 3_600_000).collect()
+    ext = {}
+    for (c, r, t, w), (_, n) in want.items():
+        if n:
+            cur = ext.get((c, r, t))
+            ext[(c, r, t)] = (
+                (w, w) if cur is None
+                else (min(cur[0], w), max(cur[1], w))
+            )
+    for row in dflt:
+        k = (row["conv_id"], row["role"], row["tool"])
+        lo_k, hi_k = ext[k]
+        assert lo_k <= row["window_ms"] <= hi_k
+        assert row["absent"] == (want[(*k, row["window_ms"])][1] == 0)

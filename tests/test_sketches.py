@@ -226,3 +226,162 @@ def test_cms_cascade_raw_touched_once(spark, transcripts):
     total_1m = tiers["1m"].agg(F.sum("cnt").alias("s")).first()["s"]
     total_1d = tiers["1d"].agg(F.sum("cnt").alias("s")).first()["s"]
     assert total_1m == total_1d  # mass conservation through the merge
+
+
+def test_bloom_merge_lossless_idempotent_no_false_negatives(
+    spark, transcripts, transcripts_pdf
+):
+    """Bloom law pins: (1) OR-merged 1h filter == the filter built
+    directly from raw, bit for bit; (2) the merge is IDEMPOTENT --
+    re-merging the same finer tier twice changes nothing (the property
+    count-min's counter sum does NOT have); (3) membership has NO
+    false negatives: every key a group actually contained probes true;
+    (4) false positives bounded loosely at this m/k/key-domain."""
+    from prom_tsdb_copyer_spark.operators.sketches import (
+        bloom_contains,
+        bloom_reaggregate,
+        bloom_tier,
+    )
+
+    t1m = bloom_tier(transcripts, SERIES, "1m", "role")
+    merged = bloom_reaggregate(t1m, SERIES, "1h")
+    direct = bloom_tier(transcripts, SERIES, "1h", "role")
+
+    def bits(df):
+        out = {}
+        for r in df.collect():
+            k = tuple(r[c] for c in [*SERIES, "bucket_ms"])
+            out.setdefault(k, set()).add(r["bit"])
+        return out
+
+    m = bits(merged)
+    assert m == bits(direct) and m  # lossless OR-merge
+    # idempotence: union the same 1m tier in twice
+    replayed = bloom_reaggregate(t1m.unionAll(t1m), SERIES, "1h")
+    assert bits(replayed) == m
+
+    keys = sorted(transcripts_pdf["role"].dropna().unique())
+    got = {
+        (r["conv_id"], r["role"], r["tool"] or "<null>", r["bucket_ms"],
+         r["key"]): r["member"]
+        for r in bloom_contains(
+            merged, [*SERIES, "bucket_ms"], keys
+        ).collect()
+    }
+    p = transcripts_pdf.copy()
+    p["tool"] = p["tool"].fillna("<null>")
+    p["bucket_ms"] = (
+        (p["ts"].astype("int64") // 1_000_000) // 3_600_000
+    ) * 3_600_000
+    # within one (conv, role, tool, bucket) group every row shares the
+    # group's role, so truth(key) = (key == role)
+    false_pos = 0
+    assert got
+    for (cid, role, tool, bms, key), member in got.items():
+        if key == role:
+            assert member, (cid, role, tool, bms, key)  # no false negative
+        elif member:
+            false_pos += 1
+    assert false_pos <= max(2, len(got) // 20)
+
+
+def test_bloom_vs_duckdb(spark, transcripts, transcripts_pdf):
+    """Gate-ready oracle SQL for the Bloom family (r9 rotation fuel):
+    DuckDB recomputes the ENTIRE chain independently -- the salted
+    hash60 bit positions, the 1h filter's distinct-bit relation, and
+    the all-k-bits membership fold for a fixed probe set -- in exact
+    BIGINTs/booleans. Set algebra end to end: value-hash promotable."""
+    import duckdb
+
+    from prom_tsdb_copyer_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        bloom_bit_sql,
+        bloom_contains,
+        bloom_tier,
+    )
+
+    t1h = bloom_tier(transcripts, SERIES, "1h", "role")
+    got_bits = {
+        tuple(r[c] for c in [*SERIES, "bucket_ms", "bit"])
+        for r in t1h.collect()
+    }
+    keys = sorted(transcripts_pdf["role"].dropna().unique())
+    got_member = {
+        tuple(r[c] for c in [*SERIES, "bucket_ms", "key"]): r["member"]
+        for r in bloom_contains(t1h, [*SERIES, "bucket_ms"], keys).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("transcripts", transcripts_pdf)
+    key_rows = ", ".join(f"('{k}')" for k in keys)
+    bit = bloom_bit_sql("role", "i.i", BLOOM_BITS)
+    filt_sql = f"""
+        WITH idx(i) AS (
+          SELECT unnest(generate_series(0, {BLOOM_HASHES - 1}))),
+        bits AS (
+          SELECT DISTINCT conv_id, role, tool,
+                 (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+                 ({bit})::INTEGER AS bit
+          FROM transcripts, idx i
+          WHERE role IS NOT NULL)
+    """
+    want_bits = {
+        (c, ro, t, int(b), int(bt))
+        for c, ro, t, b, bt in con.sql(
+            filt_sql + "SELECT * FROM bits"
+        ).fetchall()
+    }
+    assert got_bits == want_bits and got_bits
+
+    probe_bit = bloom_bit_sql("k.key", "i.i", BLOOM_BITS)
+    member_sql = filt_sql + f""",
+        keys(key) AS (SELECT * FROM (VALUES {key_rows})),
+        probes AS (
+          SELECT DISTINCT k.key, ({probe_bit})::INTEGER AS bit
+          FROM keys k, idx i),
+        grps AS (SELECT DISTINCT conv_id, role, tool, bucket_ms
+                 FROM bits)
+        SELECT g.conv_id, g.role, g.tool, g.bucket_ms, p.key,
+               bool_and(b.bit IS NOT NULL) AS member
+        FROM grps g CROSS JOIN probes p
+        LEFT JOIN bits b
+          ON b.conv_id = g.conv_id AND b.role = g.role
+         AND (b.tool = g.tool OR (b.tool IS NULL AND g.tool IS NULL))
+         AND b.bucket_ms = g.bucket_ms
+         AND b.bit = p.bit
+        GROUP BY 1, 2, 3, 4, 5
+    """
+    want_member = {
+        (c, ro, t, int(b), k): bool(mm)
+        for c, ro, t, b, k, mm in con.sql(member_sql).fetchall()
+    }
+    assert got_member == want_member and got_member
+
+
+def test_bloom_cascade_raw_touched_once(spark, transcripts):
+    """The 1d Bloom tier's plan reads the raw input exactly once (via
+    the 1m build); coarser tiers are pure bit unions -- and the 1d
+    filter's bit set per day-group equals the union of its hours'."""
+    import io
+    from contextlib import redirect_stdout
+
+    from prom_tsdb_copyer_spark.operators.sketches import bloom_cascade
+
+    tiers = bloom_cascade(transcripts, SERIES, "role")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        tiers["1d"].explain()
+    plan = buf.getvalue()
+    assert plan.count("LocalTableScan") == 1
+    # union law at day grain: every 1d bit appears in some source hour
+    day_bits = {
+        (r["conv_id"], r["role"], r["tool"], r["bucket_ms"], r["bit"])
+        for r in tiers["1d"].collect()
+    }
+    hour_bits = {
+        (r["conv_id"], r["role"], r["tool"],
+         (r["bucket_ms"] // 86_400_000) * 86_400_000, r["bit"])
+        for r in tiers["1h"].collect()
+    }
+    assert day_bits == hour_bits and day_bits

@@ -66,3 +66,63 @@ def test_reagg_path_independence(spark, transcripts):
     pd.testing.assert_frame_equal(
         _collect(via_1h), _collect(direct), check_dtype=False
     )
+
+
+def test_aggregate_by_labels_vs_duckdb(spark, transcripts,
+                                       transcripts_pdf):
+    """PromQL `sum by (role) (...)` / `... without (tool)` over the 1h
+    tier vs an independent DuckDB recompute from RAW rows (the twin
+    does not reuse the tier relation, so the tier build is re-verified
+    inside it). Exact integer/min-max algebra: r9 gate candidate. Also
+    pins by/without equivalence and the arg-validation contract."""
+    import duckdb
+    import pytest
+
+    from prom_tsdb_copyer_spark.operators.rollup import (
+        aggregate_by_labels,
+        rollup,
+    )
+
+    t1h = rollup(transcripts, SERIES, "value", "1h")
+    by = aggregate_by_labels(t1h, SERIES, by=["role"])
+    got = {
+        (r["role"], r["bucket_ms"]): (
+            int(r["n_series"]), int(r["cnt"]), round(r["sum_val"], 6),
+            r["min_val"], r["max_val"],
+        )
+        for r in by.collect()
+    }
+    con = duckdb.connect()
+    con.register("transcripts", transcripts_pdf)
+    sql = """
+        WITH tier AS (
+          SELECT conv_id, role, tool,
+                 (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+                 count(value) AS cnt, sum(value) AS sum_val,
+                 min(value) AS min_val, max(value) AS max_val
+          FROM transcripts GROUP BY 1, 2, 3, 4)
+        SELECT role, bucket_ms, count(*) AS n_series, sum(cnt) AS cnt,
+               sum(sum_val) AS sum_val, min(min_val) AS min_val,
+               max(max_val) AS max_val
+        FROM tier GROUP BY 1, 2
+    """
+    want = {
+        (r, int(b)): (int(ns), int(n), round(float(s), 6),
+                      float(lo), float(hi))
+        for r, b, ns, n, s, lo, hi in con.sql(sql).fetchall()
+    }
+    assert got == want and len(want) > 50
+
+    # `without` keeps the complement, preserving series_cols order
+    wo = aggregate_by_labels(t1h, SERIES, without=["conv_id", "tool"])
+    assert wo.columns == by.columns
+    assert {
+        (r["role"], r["bucket_ms"]): int(r["cnt"]) for r in wo.collect()
+    } == {k: v[1] for k, v in got.items()}
+
+    with pytest.raises(ValueError):
+        aggregate_by_labels(t1h, SERIES)
+    with pytest.raises(ValueError):
+        aggregate_by_labels(t1h, SERIES, by=["role"], without=["tool"])
+    with pytest.raises(ValueError):
+        aggregate_by_labels(t1h, SERIES, by=["nope"])

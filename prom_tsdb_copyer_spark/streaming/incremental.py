@@ -268,6 +268,73 @@ def streaming_cms_tier_1m(
     )
 
 
+def streaming_bloom_tier_1m(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    series_cols: list[str],
+    key_col: str,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    m_bits: int | None = None,
+    k_hashes: int | None = None,
+) -> DataFrame:
+    """Streaming Bloom 1m tier, completing the streaming sketch trio:
+    the stateless explode(k) + bit projection runs before the
+    watermarked aggregation (the count-min discipline), so the
+    stateful operator sees (series, window, bit) rows and holds at
+    most min(m, k*|group keys|) state rows per (series, minute) --
+    the grouped-count aggregation IS the distinct (the count is
+    dropped), and because the batch merge is idempotent OR, a closed
+    window's bits union upward via `bloom_reaggregate` exactly like
+    the batch cascade (fixture-tested bit-for-bit)."""
+    from ..operators.sketches import BLOOM_BITS, BLOOM_HASHES, _cms_slot
+
+    m = m_bits or BLOOM_BITS
+    k = k_hashes or BLOOM_HASHES
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .load(source_dir)
+    )
+    stream = _with_event_time(stream, ts_col)
+    bits = (
+        stream.where(F.col(key_col).isNotNull())
+        .select(
+            *series_cols,
+            F.col(ts_col),
+            F.col(key_col).cast("string").alias("__k"),
+        )
+        .select(
+            *series_cols,
+            ts_col,
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i"),
+            "__k",
+        )
+        .select(
+            *series_cols,
+            ts_col,
+            _cms_slot(F.col("__k"), F.col("__i"), m).cast("int")
+            .alias("bit"),
+        )
+    )
+    return (
+        bits.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), "1 minute").alias("win"),
+            *series_cols,
+            "bit",
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.unix_millis(F.col("win.start")).alias("bucket_ms"),
+            *series_cols,
+            "bit",
+        )
+    )
+
+
 def streaming_hist_tier_1m(
     spark: SparkSession,
     source_dir: str,

@@ -593,3 +593,53 @@ def test_streaming_sketch_tiers_match_batch(spark, transcripts, tmp_path):
         .collect()
     }
     assert got_cells == want_cells and got_cells
+
+
+def test_streaming_bloom_tier_matches_batch(spark, transcripts, tmp_path):
+    """Streaming Bloom 1m tier == the batch Bloom tier on closed
+    windows, bit for bit -- and because the batch merge is idempotent
+    OR, the streamed 1m bits re-aggregate upward into exactly the
+    batch 1h filter (the union law crossing the streaming/batch
+    boundary)."""
+    from prom_tsdb_copyer_spark.operators.sketches import (
+        bloom_reaggregate,
+        bloom_tier,
+    )
+    from prom_tsdb_copyer_spark.operators.windows import MINUTE_MS, unix_ms
+    from prom_tsdb_copyer_spark.streaming.incremental import (
+        streaming_bloom_tier_1m,
+    )
+
+    src = str(tmp_path / "src")
+    transcripts.write.parquet(src)
+    max_ts_ms = transcripts.agg(F.max(unix_ms(F.col("ts")))).first()[0]
+    wm_ms = max_ts_ms - 10 * MINUTE_MS
+    closed = F.col("bucket_ms") + MINUTE_MS <= wm_ms
+
+    stream = streaming_bloom_tier_1m(
+        spark, src, transcripts.schema, SERIES, "role"
+    )
+    out, ck = str(tmp_path / "bloom_out"), str(tmp_path / "bloom_ck")
+    run_available_now(stream, out, ck).awaitTermination(300)
+    streamed = spark.read.parquet(out).drop("part_day")
+    got_bits = {
+        tuple(r[c] for c in [*SERIES, "bucket_ms", "bit"])
+        for r in streamed.collect()
+    }
+    want_1m = bloom_tier(transcripts, SERIES, "1m", "role").where(closed)
+    want_bits = {
+        tuple(r[c] for c in [*SERIES, "bucket_ms", "bit"])
+        for r in want_1m.collect()
+    }
+    assert got_bits == want_bits and got_bits
+
+    # cross-boundary union law: streamed 1m -> 1h == batch 1m -> 1h
+    got_1h = {
+        tuple(r[c] for c in [*SERIES, "bucket_ms", "bit"])
+        for r in bloom_reaggregate(streamed, SERIES, "1h").collect()
+    }
+    want_1h = {
+        tuple(r[c] for c in [*SERIES, "bucket_ms", "bit"])
+        for r in bloom_reaggregate(want_1m, SERIES, "1h").collect()
+    }
+    assert got_1h == want_1h and got_1h

@@ -51,3 +51,89 @@ def test_job_level_append(spark, transcripts):
     tiers = run_rollups(transcripts, CopyJob(label_append=("env=prod",)))
     assert "env" in tiers["1m"].columns
     assert tiers["1m"].where(F.col("env") != "prod").count() == 0
+
+
+def test_label_replace_template_parse():
+    from prom_tsdb_copyer_spark.operators.relabel import _parse_template
+
+    assert _parse_template("$1-x$2") == ["", 1, "-x", 2, ""]
+    assert _parse_template("static") == ["static"]
+    assert _parse_template("$$1") == ["$1"]
+    assert _parse_template("a$10b") == ["a", 10, "b"]
+    assert _parse_template("") == [""]
+
+
+def test_label_replace_and_join_vs_duckdb(spark, transcripts,
+                                          transcripts_pdf):
+    """PromQL label_replace/label_join laws vs an independent DuckDB
+    recompute (regexp_full_match + backref regexp_replace): capture
+    expansion on match, old-dst retention on no-match, absent-src ==
+    "", empty expansion removes the label (null ≡ "" per the matcher
+    convention), and join keeps empty slots."""
+    import duckdb
+
+    from prom_tsdb_copyer_spark.operators.relabel import (
+        label_join,
+        label_replace,
+    )
+
+    # tool values in the fixture include nulls (absent label): regex
+    # captures the suffix of tool names starting 's'; everything else
+    # (incl. absent == "") keeps its old dst -- which starts absent
+    out = label_replace(transcripts, "env", "x-$1", "tool", "s(.*)")
+    out = label_join(out, "sid", "/", ["role", "env"])
+    got = [
+        (r["conv_id"], r["turn_idx"], r["env"], r["sid"])
+        for r in out.select("conv_id", "turn_idx", "env", "sid").collect()
+    ]
+    con = duckdb.connect()
+    con.register("transcripts", transcripts_pdf)
+    want = {
+        (c, int(t)): (e, s)
+        for c, t, e, s in con.sql(r"""
+        WITH rep AS (
+          SELECT conv_id, turn_idx,
+                 CASE WHEN regexp_full_match(coalesce(tool, ''), 's(.*)')
+                      THEN nullif(regexp_replace(
+                             coalesce(tool, ''), '^(?:s(.*))$', 'x-\1'),
+                           '')
+                      ELSE NULL END AS env
+          FROM transcripts),
+        j AS (
+          SELECT t.conv_id, t.turn_idx, rep.env,
+                 nullif(concat_ws('/', coalesce(t.role, ''),
+                        coalesce(rep.env, '')), '') AS sid
+          FROM transcripts t
+          JOIN rep ON rep.conv_id = t.conv_id
+                  AND rep.turn_idx = t.turn_idx)
+        SELECT * FROM j
+        """).fetchall()
+    }
+    assert got and all(
+        (e, s) == want[(c, int(t))] for c, t, e, s in got
+    )
+    envs = {e for _, _, e, _ in got}
+    assert None in envs and any(
+        e and e.startswith("x-") for e in envs
+    )  # both branches exercised
+
+    # no-match keeps the OLD dst value (not null): overwrite role where
+    # tool matches, keep role otherwise
+    kept = label_replace(transcripts, "role", "m-$1", "tool", "s(.*)")
+    rows = kept.select("role", "tool").distinct().collect()
+    assert any(
+        r["role"].startswith("m-") for r in rows if r["role"]
+    )
+    assert any(
+        not (r["role"] or "").startswith("m-") for r in rows
+    )
+
+    # validation: bad dst name / bad regex raise driver-side
+    import pytest
+
+    with pytest.raises(ValueError):
+        label_replace(transcripts, "0bad", "$1", "tool", ".*")
+    with pytest.raises(Exception):
+        label_replace(transcripts, "env", "$1", "tool", "(unclosed")
+    with pytest.raises(ValueError):
+        label_join(transcripts, "bad name", "/", ["role"])

@@ -1311,6 +1311,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dsir_weights, bigram_logprob in. Every promoted row's oracle was
     developed in-test in r7 and kept green before the swap; the full
     50 re-verified via tools/check_oracle.py after the rotation.
+
+    r9 rotation fuel (twins written AND passing in r8, each an
+    independent in-test DuckDB recompute -- see COVERAGE.md rows):
+    ivfpq exhaustive-ADC chain, count-min full chain (cells +
+    estimates), Bloom full chain (bits + membership), idelta/irate,
+    quantile_over_time, count_values, mad_over_time,
+    perplexity_buckets (rank law), aggregate_by_labels,
+    last_over_time, absent_over_time, label_replace/label_join.
     """
     return {
         "tier_rollup_1m": q_tier_rollup_1m,

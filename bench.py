@@ -286,6 +286,19 @@ def run_bench() -> dict:
             transcripts, ["role", "tool"], "1h", "conv_id"
         ).count()
 
+    def cms_1h_fast():
+        # the xxhash64 production law (hashing.py's documented 100TB
+        # swap) vs the md5 parity law above -- the delta between this
+        # key and cms_tier_1h MEASURES the cross-engine-parity tax
+        return cms_tier(
+            transcripts, ["role", "tool"], "1h", "conv_id", hasher="fast"
+        ).count()
+
+    def bloom_1h_fast():
+        return bloom_tier(
+            transcripts, ["role", "tool"], "1h", "conv_id", hasher="fast"
+        ).count()
+
     # the large-n_cells broadcast-kernel path (VERDICT r6 #2): (a) the
     # same IVF-PQ query forced through the broadcast ADC/residual
     # kernels -- at toy scale the literal path is plan-analysis-bound,
@@ -358,6 +371,8 @@ def run_bench() -> dict:
         ("hll_tier_1h", hll_1h),
         ("cms_tier_1h", cms_1h),
         ("bloom_tier_1h", bloom_1h),
+        ("cms_tier_1h_fast", cms_1h_fast),
+        ("bloom_tier_1h_fast", bloom_1h_fast),
     ):
         runs = [timed(fn)[0] for _ in range(3)]
         queries[nm] = round(min(runs), 3)

@@ -138,10 +138,26 @@ CMS_DEPTH = 4
 CMS_WIDTH = 256
 
 
-def _cms_slot(key: Column, row: Column, width: int) -> Column:
-    """Row-salted slot: hash60("<row>:<key>") % width. Non-negative by
-    construction (hash60 is a 60-bit value), so plain % == pmod in
-    both engines."""
+def _cms_slot(
+    key: Column, row: Column, width: int, hasher: str = "parity"
+) -> Column:
+    """Row-salted slot, % width, two laws:
+
+    * ``parity`` (default): hash60("<row>:<key>") -- md5-based,
+      recomputable in DuckDB (`cms_slot_sql`), the gate/twin choice.
+      Non-negative by construction so plain % == pmod in both engines.
+    * ``fast``: the production law hashing.py has always documented as
+      the 100TB swap -- JVM ``xxhash64(row, key)`` (no string concat,
+      no md5), pmod'd non-negative. Same uniformity guarantees, NOT
+      oracle-expressible; build and probe must agree on the law
+      (both sides thread this parameter)."""
+    if hasher == "fast":
+        return F.pmod(
+            F.xxhash64(row.cast("string"), key.cast("string")),
+            F.lit(width),
+        )
+    if hasher != "parity":
+        raise ValueError(f"hasher must be 'parity' or 'fast', got {hasher!r}")
     from ..functions.hashing import hash60
 
     return (
@@ -166,6 +182,7 @@ def cms_tier(
     ts_col: str = "ts",
     width: int = CMS_WIDTH,
     depth: int = CMS_DEPTH,
+    hasher: str = "parity",
 ) -> DataFrame:
     """Raw rows -> (series..., bucket_ms, row, slot, cnt): a count-min
     sketch per (series, bucket) stored relationally. Rows where
@@ -193,7 +210,7 @@ def cms_tier(
             *series_cols,
             "bucket_ms",
             F.col("row").cast("int").alias("row"),
-            _cms_slot(F.col("__k"), F.col("row"), width)
+            _cms_slot(F.col("__k"), F.col("row"), width, hasher)
             .cast("int")
             .alias("slot"),
         )
@@ -230,6 +247,7 @@ def cms_estimate(
     keys: list[str],
     width: int = CMS_WIDTH,
     depth: int = CMS_DEPTH,
+    hasher: str = "parity",
 ) -> DataFrame:
     """Point-query the sketch: for each key in `keys` and each group in
     `sketch_df`, est = min over rows of the key's cell (missing cell
@@ -245,7 +263,8 @@ def cms_estimate(
     probes = spark.createDataFrame(
         [(k, r) for k in keys for r in range(depth)], "key string, row int"
     ).withColumn(
-        "slot", _cms_slot(F.col("key"), F.col("row"), width).cast("int")
+        "slot",
+        _cms_slot(F.col("key"), F.col("row"), width, hasher).cast("int"),
     )
     groups = sketch_df.select(*group_cols).distinct()
     # groups derives from sketch_df (self-join lineage): alias both
@@ -280,13 +299,14 @@ def cms_cascade(
     ts_col: str = "ts",
     width: int = CMS_WIDTH,
     depth: int = CMS_DEPTH,
+    hasher: str = "parity",
 ) -> dict[str, DataFrame]:
     """Count-min twin of `hll_cascade`: raw touched once by the finest
     tier, every coarser tier sums the finer tier's cells."""
     out: dict[str, DataFrame] = {}
     finest = tiers[0]
     out[finest] = cms_tier(
-        df, series_cols, finest, key_col, ts_col, width, depth
+        df, series_cols, finest, key_col, ts_col, width, depth, hasher
     )
     for finer, coarser in zip(tiers, tiers[1:]):
         out[coarser] = cms_reaggregate(out[finer], series_cols, coarser)
@@ -338,6 +358,7 @@ def bloom_tier(
     ts_col: str = "ts",
     m_bits: int = BLOOM_BITS,
     k_hashes: int = BLOOM_HASHES,
+    hasher: str = "parity",
 ) -> DataFrame:
     """Raw rows -> (series..., bucket_ms, bit): one Bloom filter per
     (series, bucket) stored as its distinct set-bit positions. Null
@@ -365,7 +386,7 @@ def bloom_tier(
         .select(
             *series_cols,
             "bucket_ms",
-            _cms_slot(F.col("__k"), F.col("__i"), m_bits)
+            _cms_slot(F.col("__k"), F.col("__i"), m_bits, hasher)
             .cast("int")
             .alias("bit"),
         )
@@ -397,6 +418,7 @@ def bloom_contains(
     keys: list[str],
     m_bits: int = BLOOM_BITS,
     k_hashes: int = BLOOM_HASHES,
+    hasher: str = "parity",
 ) -> DataFrame:
     """Membership-probe the sketch: for each key in `keys` and each
     group present in `sketch_df`, member := ALL of the key's k bit
@@ -418,7 +440,7 @@ def bloom_contains(
         )
         .select(
             "key",
-            _cms_slot(F.col("key"), F.col("i"), m_bits)
+            _cms_slot(F.col("key"), F.col("i"), m_bits, hasher)
             .cast("int")
             .alias("bit"),
         )
@@ -452,13 +474,14 @@ def bloom_cascade(
     ts_col: str = "ts",
     m_bits: int = BLOOM_BITS,
     k_hashes: int = BLOOM_HASHES,
+    hasher: str = "parity",
 ) -> dict[str, DataFrame]:
     """Bloom twin of `hll_cascade`/`cms_cascade`: raw touched once by
     the finest tier, every coarser tier ORs the finer tier's bits."""
     out: dict[str, DataFrame] = {}
     finest = tiers[0]
     out[finest] = bloom_tier(
-        df, series_cols, finest, key_col, ts_col, m_bits, k_hashes
+        df, series_cols, finest, key_col, ts_col, m_bits, k_hashes, hasher
     )
     for finer, coarser in zip(tiers, tiers[1:]):
         out[coarser] = bloom_reaggregate(out[finer], series_cols, coarser)

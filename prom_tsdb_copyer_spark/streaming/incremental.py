@@ -208,6 +208,7 @@ def streaming_cms_tier_1m(
     watermark: str = "10 minutes",
     width: int | None = None,
     depth: int | None = None,
+    hasher: str = "parity",
 ) -> DataFrame:
     """Streaming count-min 1m tier: the stateless explode(depth) +
     slot projection runs before the watermarked aggregation, so the
@@ -245,7 +246,7 @@ def streaming_cms_tier_1m(
             *series_cols,
             ts_col,
             F.col("row").cast("int").alias("row"),
-            _cms_slot(F.col("__k"), F.col("row"), w).cast("int")
+            _cms_slot(F.col("__k"), F.col("row"), w, hasher).cast("int")
             .alias("slot"),
         )
     )
@@ -278,6 +279,7 @@ def streaming_bloom_tier_1m(
     watermark: str = "10 minutes",
     m_bits: int | None = None,
     k_hashes: int | None = None,
+    hasher: str = "parity",
 ) -> DataFrame:
     """Streaming Bloom 1m tier, completing the streaming sketch trio:
     the stateless explode(k) + bit projection runs before the
@@ -315,7 +317,7 @@ def streaming_bloom_tier_1m(
         .select(
             *series_cols,
             ts_col,
-            _cms_slot(F.col("__k"), F.col("__i"), m).cast("int")
+            _cms_slot(F.col("__k"), F.col("__i"), m, hasher).cast("int")
             .alias("bit"),
         )
     )

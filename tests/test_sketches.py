@@ -385,3 +385,88 @@ def test_bloom_cascade_raw_touched_once(spark, transcripts):
         for r in tiers["1h"].collect()
     }
     assert day_bits == hour_bits and day_bits
+
+
+def test_fast_hasher_preserves_sketch_laws(spark, transcripts,
+                                           transcripts_pdf):
+    """hasher='fast' (the xxhash64 production law hashing.py documents
+    as the 100TB swap) preserves every sketch guarantee the parity
+    path pins: count-min lossless merge + est >= exact, Bloom lossless
+    idempotent merge + no false negatives -- with build and probe
+    threading the SAME law. Also pins that the two laws really differ
+    (different slot relations) and that a bad hasher name raises."""
+    import pytest
+
+    from prom_tsdb_copyer_spark.operators.sketches import (
+        bloom_contains,
+        bloom_reaggregate,
+        bloom_tier,
+        cms_estimate,
+        cms_reaggregate,
+        cms_tier,
+    )
+
+    keys = sorted(transcripts_pdf["role"].dropna().unique())
+    p = transcripts_pdf.copy()
+    p["tool"] = p["tool"].fillna("<null>")
+    p["bucket_ms"] = (
+        (p["ts"].astype("int64") // 1_000_000) // 3_600_000
+    ) * 3_600_000
+    sizes = p.groupby(["conv_id", "role", "tool", "bucket_ms"]).size()
+
+    # count-min, fast law
+    t1m = cms_tier(transcripts, SERIES, "1m", "role", hasher="fast")
+    merged = cms_reaggregate(t1m, SERIES, "1h")
+    direct = cms_tier(transcripts, SERIES, "1h", "role", hasher="fast")
+
+    def cells(df):
+        return {
+            tuple(r[c] for c in [*SERIES, "bucket_ms", "row", "slot"]):
+                r["cnt"]
+            for r in df.collect()
+        }
+
+    fast_cells = cells(direct)
+    assert cells(merged) == fast_cells and fast_cells
+    assert fast_cells != cells(
+        cms_tier(transcripts, SERIES, "1h", "role")
+    )  # genuinely a different law
+    est = {
+        (r["conv_id"], r["role"], r["tool"] or "<null>", r["bucket_ms"],
+         r["key"]): r["est"]
+        for r in cms_estimate(
+            merged, [*SERIES, "bucket_ms"], keys, hasher="fast"
+        ).collect()
+    }
+    assert est
+    for (cid, role, tool, bms, key), e in est.items():
+        want = int(sizes.get((cid, role, tool, bms))) if key == role else 0
+        assert e >= want
+
+    # Bloom, fast law
+    b1m = bloom_tier(transcripts, SERIES, "1m", "role", hasher="fast")
+    bm = bloom_reaggregate(b1m, SERIES, "1h")
+    bits_direct = {
+        tuple(r[c] for c in [*SERIES, "bucket_ms", "bit"])
+        for r in bloom_tier(
+            transcripts, SERIES, "1h", "role", hasher="fast"
+        ).collect()
+    }
+    assert {
+        tuple(r[c] for c in [*SERIES, "bucket_ms", "bit"])
+        for r in bm.collect()
+    } == bits_direct and bits_direct
+    member = {
+        (r["conv_id"], r["role"], r["tool"] or "<null>", r["bucket_ms"],
+         r["key"]): r["member"]
+        for r in bloom_contains(
+            bm, [*SERIES, "bucket_ms"], keys, hasher="fast"
+        ).collect()
+    }
+    assert member
+    for (cid, role, tool, bms, key), m in member.items():
+        if key == role:
+            assert m  # no false negative under the fast law either
+
+    with pytest.raises(ValueError, match="hasher"):
+        cms_tier(transcripts, SERIES, "1h", "role", hasher="md5")

@@ -159,3 +159,45 @@ def hist_quantile(
         lo_bound, prev_cum = F.lit(float(b)), cum
     expr = expr.otherwise(lo_bound)  # +Inf bucket -> its lower bound
     return tier_df.withColumn(out_col, F.round(expr, 6))
+
+
+def hist_fraction(
+    tier_df: DataFrame,
+    lower: float,
+    upper: float,
+    bounds: tuple[float, ...] = DEFAULT_BOUNDS,
+    out_col: str = "fraction",
+) -> DataFrame:
+    """PromQL histogram_fraction(lower, upper, h) analog: the estimated
+    fraction of observations in (lower, upper], linearly interpolating
+    inside buckets -- the inverse of hist_quantile's law, sharing its
+    conventions (first bucket's lower bound is 0; mass above the last
+    finite bound sits in +Inf and interpolates to the total). Pure
+    column algebra over exact integer counts and literal bounds, same
+    oracle class as hist_quantile (nested CASE). count == 0 -> NaN
+    (PromQL's 0/0 law)."""
+    if not upper >= lower:
+        raise ValueError(f"upper {upper} must be >= lower {lower}")
+
+    def cum_at(x: float) -> Column:
+        # x is a LITERAL, so its bucket is picked driver-side -- the
+        # result is one arithmetic expression, not a CASE chain
+        if x <= 0:
+            return F.lit(0).cast("double")
+        prev_b = 0.0
+        prev_cum = F.lit(0).cast("long")
+        for i, b in enumerate(bounds):
+            cum = F.col("hist_buckets")[i]
+            if x <= b:
+                frac = (x - prev_b) / (b - prev_b)
+                return prev_cum + (cum - prev_cum) * F.lit(frac)
+            prev_b, prev_cum = float(b), cum
+        # x above the last finite bound: all observations count
+        return F.col("hist_count").cast("double")
+
+    mass = cum_at(upper) - cum_at(lower)
+    frac = F.when(
+        F.col("hist_count") > 0,
+        mass / F.col("hist_count"),
+    ).otherwise(F.lit(float("nan")))
+    return tier_df.withColumn(out_col, F.round(frac, 6))

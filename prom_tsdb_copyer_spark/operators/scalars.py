@@ -1,0 +1,102 @@
+"""PromQL scalar value functions over sample/tier relations.
+
+The last slice of the PromQL function surface: elementwise math on the
+value column (abs/ceil/floor/exp/ln/log2/log10/sqrt/sgn, clamp family,
+round-to-nearest-multiple). All pure codegen projections -- no UDF, no
+shuffle, fully pushdown-transparent -- with PromQL's IEEE edge laws
+spelled out where ANSI Spark or Spark's null-on-domain-error functions
+would otherwise diverge: ln(0) -> -Inf, ln(x<0) -> NaN, sqrt(x<0) ->
+NaN, clamp with min > max -> NaN, round ties AWAY from zero upward
+(Go's math.Floor(v/n + 0.5) * n).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+def _nan() -> Column:
+    return F.lit(float("nan"))
+
+
+def _ninf() -> Column:
+    return F.lit(float("-inf"))
+
+
+def _ln_law(log_fn):
+    def law(v: Column) -> Column:
+        return (
+            F.when(v > 0, log_fn(v))
+            .when(v == 0, _ninf())
+            .when(v.isNull(), F.lit(None).cast("double"))
+            .otherwise(_nan())
+        )
+
+    return law
+
+
+VALUE_FNS = {
+    "abs": F.abs,
+    "ceil": F.ceil,
+    "floor": F.floor,
+    "exp": F.exp,
+    "ln": _ln_law(F.log),
+    "log2": _ln_law(F.log2),
+    "log10": _ln_law(F.log10),
+    "sqrt": lambda v: F.when(v >= 0, F.sqrt(v)).when(
+        v.isNull(), F.lit(None).cast("double")
+    ).otherwise(_nan()),
+    "sgn": F.signum,
+}
+
+
+def value_fn(
+    df: DataFrame, fn: str, value_col: str = "value"
+) -> DataFrame:
+    """Apply a PromQL math function to `value_col` in place."""
+    if fn not in VALUE_FNS:
+        raise ValueError(
+            f"unknown fn {fn!r}; one of {sorted(VALUE_FNS)}"
+        )
+    v = F.col(value_col).cast("double")
+    return df.withColumn(value_col, VALUE_FNS[fn](v).cast("double"))
+
+
+def clamp(
+    df: DataFrame,
+    min_val: float | None = None,
+    max_val: float | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """PromQL clamp/clamp_min/clamp_max: give one bound for the _min/
+    _max forms, both for clamp. clamp with min > max is NaN for every
+    sample (PromQL's law); a one-sided form never is."""
+    if min_val is None and max_val is None:
+        raise ValueError("give at least one of min_val/max_val")
+    v = F.col(value_col).cast("double")
+    out = v
+    if min_val is not None:
+        out = F.greatest(out, F.lit(float(min_val)))
+    if max_val is not None:
+        out = F.least(out, F.lit(float(max_val)))
+    if min_val is not None and max_val is not None and min_val > max_val:
+        out = _nan()
+    return df.withColumn(
+        value_col,
+        F.when(v.isNull(), F.lit(None).cast("double")).otherwise(out),
+    )
+
+
+def round_to_nearest(
+    df: DataFrame, to_nearest: float = 1.0, value_col: str = "value"
+) -> DataFrame:
+    """PromQL round(v, to_nearest): nearest MULTIPLE of `to_nearest`,
+    ties rounded up (Go: Floor(v/n + 0.5) * n) -- not banker's
+    rounding, and not Spark's HALF_UP-on-decimal-digits F.round."""
+    if to_nearest <= 0:
+        raise ValueError(f"to_nearest must be > 0, got {to_nearest}")
+    n = F.lit(float(to_nearest))
+    v = F.col(value_col).cast("double")
+    return df.withColumn(
+        value_col, F.floor(v / n + F.lit(0.5)).cast("double") * n
+    )

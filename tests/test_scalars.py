@@ -1,0 +1,125 @@
+"""PromQL scalar value functions + histogram_fraction: edge laws vs
+python recomputes and a DuckDB twin for the engine-identical subset.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from prom_tsdb_copyer_spark.operators.scalars import (
+    clamp,
+    round_to_nearest,
+    value_fn,
+)
+
+
+def _vals(spark, xs):
+    return spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "i long, value double"
+    )
+
+
+def _out(df):
+    return {r["i"]: r["value"] for r in df.collect()}
+
+
+def test_value_fns_edge_laws(spark):
+    xs = [4.0, 0.0, -3.0, 0.25, None]
+    df = _vals(spark, xs)
+    ln = _out(value_fn(df, "ln"))
+    assert ln[0] == math.log(4.0) and ln[1] == float("-inf")
+    assert math.isnan(ln[2]) and ln[3] == math.log(0.25) and ln[4] is None
+    sq = _out(value_fn(df, "sqrt"))
+    assert sq[0] == 2.0 and sq[1] == 0.0 and math.isnan(sq[2])
+    assert sq[4] is None
+    lg2 = _out(value_fn(df, "log2"))
+    assert lg2[0] == 2.0 and lg2[3] == -2.0 and lg2[1] == float("-inf")
+    sgn = _out(value_fn(df, "sgn"))
+    assert (sgn[0], sgn[1], sgn[2]) == (1.0, 0.0, -1.0)
+    for fn, ref in [("abs", abs), ("ceil", math.ceil),
+                    ("floor", math.floor), ("exp", math.exp)]:
+        got = _out(value_fn(df, fn))
+        for i, x in enumerate(xs):
+            if x is None:
+                assert got[i] is None
+            else:
+                assert got[i] == pytest.approx(float(ref(x)))
+    with pytest.raises(ValueError, match="unknown fn"):
+        value_fn(df, "cbrt")
+
+
+def test_clamp_and_round_laws(spark, transcripts, transcripts_pdf):
+    """clamp/round vs a DuckDB twin on real data (these laws are
+    engine-identical: greatest/least and floor arithmetic), plus the
+    PromQL edges: min > max -> NaN, ties round UP (2.5 -> 3, -2.5 ->
+    -2: Go's Floor(v+0.5), NOT half-even or half-away)."""
+    import duckdb
+
+    df = transcripts.select("conv_id", "turn_idx", "value")
+    got_c = {
+        (r["conv_id"], r["turn_idx"]): r["value"]
+        for r in clamp(df, 10.0, 100.0).collect()
+    }
+    got_r = {
+        (r["conv_id"], r["turn_idx"]): r["value"]
+        for r in round_to_nearest(df, 5.0).collect()
+    }
+    con = duckdb.connect()
+    con.register("transcripts", transcripts_pdf)
+    rows = con.sql("""
+        SELECT conv_id, turn_idx,
+               least(greatest(value, 10.0), 100.0) AS c,
+               floor(value / 5.0 + 0.5) * 5.0 AS r
+        FROM transcripts
+    """).fetchall()
+    assert got_c == {(c, int(t)): float(cv) for c, t, cv, _ in rows}
+    assert got_r == {(c, int(t)): float(rv) for c, t, _, rv in rows}
+    assert len(rows) > 100
+
+    edge = _vals(spark, [2.5, -2.5, 7.49, None])
+    r1 = _out(round_to_nearest(edge, 1.0))
+    assert (r1[0], r1[1], r1[2]) == (3.0, -2.0, 7.0) and r1[3] is None
+    nan_all = _out(clamp(_vals(spark, [5.0, None]), 9.0, 1.0))
+    assert math.isnan(nan_all[0]) and nan_all[1] is None
+    lo_only = _out(clamp(_vals(spark, [5.0, -1.0]), min_val=0.0))
+    assert (lo_only[0], lo_only[1]) == (5.0, 0.0)
+    with pytest.raises(ValueError):
+        clamp(df)
+    with pytest.raises(ValueError):
+        round_to_nearest(df, 0.0)
+
+
+def test_hist_fraction_laws(spark):
+    """histogram_fraction vs a hand recompute on planted buckets:
+    interpolation inside a bucket, full-range == 1, +Inf mass, empty
+    histogram -> NaN, and monotonicity in upper."""
+    from prom_tsdb_copyer_spark.operators.histogram import hist_fraction
+
+    bounds = (1.0, 2.0, 4.0)
+    # cumulative buckets: [10, 30, 60], +Inf total 100; count 100
+    df = spark.createDataFrame(
+        [(1, [10, 30, 60], 100), (2, [0, 0, 0], 0)],
+        "g int, hist_buckets array<long>, hist_count long",
+    )
+    def frac(lo, hi):
+        out = hist_fraction(df, lo, hi, bounds).collect()
+        return {r["g"]: r["fraction"] for r in out}
+
+    # upper=1.5 interpolates bucket 2: 10 + 20*0.5 = 20 -> 0.2
+    assert frac(0.0, 1.5)[1] == pytest.approx(0.2)
+    # full finite range: cum(4)=60 -> 0.6; everything: 1.0
+    assert frac(0.0, 4.0)[1] == pytest.approx(0.6)
+    assert frac(0.0, 1e12)[1] == pytest.approx(1.0)
+    # (1, 2]: 30-10 -> 0.2; (2, 3]: 30 + 30*0.5 - 30 = 15 -> 0.15
+    assert frac(1.0, 2.0)[1] == pytest.approx(0.2)
+    assert frac(2.0, 3.0)[1] == pytest.approx(0.15)
+    # empty histogram -> NaN
+    assert math.isnan(frac(0.0, 2.0)[2])
+    # monotone in upper
+    fs = [frac(0.0, u)[1] for u in (0.5, 1.0, 2.0, 3.0, 4.0, 5.0)]
+    assert fs == sorted(fs)
+    with pytest.raises(ValueError):
+        hist_fraction(df, 2.0, 1.0, bounds)

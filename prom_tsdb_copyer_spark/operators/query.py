@@ -358,6 +358,7 @@ def query_range(
     step_ms: int = 60_000,
     metric_name: str = "turns",
     tiers=("1m", "1h", "1d"),
+    offset_ms: int = 0,
 ) -> DataFrame:
     """The consumer-side getQueryRange analog over the MATERIALIZED
     cascade: resolution-select the tier for `step_ms`
@@ -368,6 +369,8 @@ def query_range(
     counts/sums add, min/max fold, first/last pick by order key).
     Raises ValueError when `step_ms` is a multiple of NO tier grain --
     exact re-aggregation is impossible on a misaligned grid.
+    ``offset_ms`` is PromQL's `offset` modifier: the window shifts
+    back, the result timestamps do not.
 
     Output: (series..., bucket_ms, AGG_COLS) at step resolution — every
     read-side derived aggregate in this module composes on top. At
@@ -391,11 +394,25 @@ def query_range(
             "re-aggregation needs step_ms to be a multiple of a tier "
             "grain -- snap the step or materialize a finer tier"
         )
-    tier, df = read_tier_auto(spark, out_root, step_ms, from_ms, to_ms, tiers)
+    # PromQL `offset`: evaluate the window shifted back by offset_ms,
+    # report at the ORIGINAL timestamps -- read [from-off, to-off)
+    # (both pruning layers engage on the shifted range), then shift
+    # bucket_ms forward again after the re-aggregation
+    off = int(offset_ms)
+    tier, df = read_tier_auto(
+        spark, out_root, step_ms,
+        None if from_ms is None else from_ms - off,
+        None if to_ms is None else to_ms - off,
+        tiers,
+    )
     df = select_series(df.drop("part_day"), series_cols,
                        matchers=matchers, metric_name=metric_name)
     if step_ms > grain:
         df = reaggregate(df, series_cols, int(step_ms))
+    if off:
+        df = df.withColumn(
+            "bucket_ms", (F.col("bucket_ms") + F.lit(off)).cast("long")
+        )
     return df
 
 

@@ -100,3 +100,35 @@ def round_to_nearest(
     return df.withColumn(
         value_col, F.floor(v / n + F.lit(0.5)).cast("double") * n
     )
+
+
+TIME_FNS = {
+    # PromQL calendar functions, UTC (the session pins UTC): name ->
+    # expression over a timestamp column. day_of_week is 0=Sunday
+    # (Spark's dayofweek is 1=Sunday -> shift).
+    "minute": F.minute,
+    "hour": F.hour,
+    "day_of_month": F.dayofmonth,
+    "day_of_week": lambda ts: F.dayofweek(ts) - F.lit(1),
+    "days_in_month": lambda ts: F.dayofmonth(F.last_day(ts)),
+    "month": F.month,
+    "year": F.year,
+}
+
+
+def time_fn(
+    df: DataFrame, fields: list[str], ts_col: str = "bucket_ms"
+) -> DataFrame:
+    """PromQL calendar functions (minute/hour/day_of_month/day_of_week/
+    days_in_month/month/year) over an epoch-ms column, appended as one
+    integer column per requested field. Pure codegen, UTC per the
+    session contract; DuckDB-twinnable (make_timestamp + date parts)."""
+    unknown = [f for f in fields if f not in TIME_FNS]
+    if unknown:
+        raise ValueError(
+            f"unknown time fields {unknown}; from {sorted(TIME_FNS)}"
+        )
+    ts = F.timestamp_millis(F.col(ts_col).cast("long"))
+    for f in fields:
+        df = df.withColumn(f, TIME_FNS[f](ts).cast("int"))
+    return df

@@ -123,3 +123,83 @@ def test_hist_fraction_laws(spark):
     assert fs == sorted(fs)
     with pytest.raises(ValueError):
         hist_fraction(df, 2.0, 1.0, bounds)
+
+
+def test_time_fns_vs_duckdb(spark, transcripts, transcripts_pdf):
+    """Calendar functions over the 1h tier's bucket_ms vs DuckDB's
+    date-part algebra (UTC both sides; day_of_week re-based to
+    PromQL's 0=Sunday)."""
+    import duckdb
+
+    from prom_tsdb_copyer_spark.operators.rollup import rollup
+    from prom_tsdb_copyer_spark.operators.scalars import time_fn
+
+    t = rollup(
+        transcripts, ["conv_id", "role", "tool"], "value", "1h"
+    ).select("conv_id", "role", "tool", "bucket_ms")
+    fields = ["minute", "hour", "day_of_month", "day_of_week",
+              "days_in_month", "month", "year"]
+    got = {
+        (r["conv_id"], r["role"], r["tool"], r["bucket_ms"]):
+            tuple(r[f] for f in fields)
+        for r in time_fn(t, fields).collect()
+    }
+    con = duckdb.connect()
+    con.register("transcripts", transcripts_pdf)
+    want = {
+        (c, ro, tl, int(b)): tuple(int(x) for x in rest)
+        for c, ro, tl, b, *rest in con.sql("""
+        WITH tier AS (
+          SELECT DISTINCT conv_id, role, tool,
+                 (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms
+          FROM transcripts),
+        t AS (SELECT *, make_timestamp(bucket_ms * 1000) AS ts FROM tier)
+        SELECT conv_id, role, tool, bucket_ms,
+               minute(ts), hour(ts), day(ts),
+               dayofweek(ts),  -- duckdb: 0=Sunday already
+               day(last_day(ts)), month(ts), year(ts)
+        FROM t
+        """).fetchall()
+    }
+    assert got == want and len(want) > 100
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown time"):
+        time_fn(t, ["quarter"])
+
+
+def test_query_range_offset_modifier(spark, transcripts, tmp_path):
+    """PromQL `offset`: query_range(offset_ms=1h) returns the same
+    relation as the unshifted query over [from-1h, to-1h) with every
+    bucket_ms moved forward by exactly the offset."""
+    from prom_tsdb_copyer_spark.operators.query import query_range
+    from prom_tsdb_copyer_spark.operators.windows import HOUR_MS
+    from prom_tsdb_copyer_spark.plans.copy_job import (
+        CopyJob,
+        run_and_write_rollups,
+    )
+
+    series = ["conv_id", "role", "tool"]
+    out_root = str(tmp_path / "tiers")
+    run_and_write_rollups(spark, transcripts, CopyJob(), out_root)
+    lo = transcripts.agg(
+        F.min(F.unix_millis(F.col("ts").cast("timestamp")))
+    ).first()[0]
+    frm, to = lo + 6 * HOUR_MS, lo + 18 * HOUR_MS
+    plain = query_range(
+        spark, out_root, series, from_ms=frm - HOUR_MS,
+        to_ms=to - HOUR_MS, step_ms=HOUR_MS,
+    )
+    shifted = query_range(
+        spark, out_root, series, from_ms=frm, to_ms=to,
+        step_ms=HOUR_MS, offset_ms=HOUR_MS,
+    )
+    def keyed(df, delta):
+        return {
+            (r["conv_id"], r["role"], r["tool"],
+             r["bucket_ms"] + delta): (r["cnt"], r["sum_val"])
+            for r in df.collect()
+        }
+    assert keyed(shifted, 0) == keyed(plain, HOUR_MS)
+    assert keyed(shifted, 0)

@@ -211,3 +211,93 @@ def aggregate_by_labels(
             F.max("max_val").alias("max_val"),
         )
     )
+
+
+def aggregate_values_by_labels(
+    df: DataFrame,
+    series_cols: list[str],
+    value_col: str,
+    by: list[str] | None = None,
+    without: list[str] | None = None,
+    quantiles: tuple[float, ...] = (),
+) -> DataFrame:
+    """The statistical half of PromQL's aggregation operators --
+    ``avg/stddev/stdvar/quantile by (labels)`` -- over a per-series
+    value relation at a bucket grain (a tier column, or any read-side
+    result with (series..., bucket_ms, value)).
+
+    Output: (kept..., bucket_ms, n_series, avg_val, stddev_val,
+    stdvar_val, q_<q> per requested quantile). Variance is population
+    (PromQL's stddev/stdvar law); quantiles are exact
+    linear-interpolation percentiles (PromQL's quantile law) computed
+    by ONE sort-based aggregate per group -- group size is |series per
+    label cell|, the same bounded fan-in the label aggregation has,
+    so no global sort. Float accumulations (avg/stddev) follow the
+    deriv rule: tolerance-twinned, off the hashed gate; the quantile
+    columns are selections and hash-stable."""
+    if (by is None) == (without is None):
+        raise ValueError("exactly one of by=/without= must be given")
+    pool = by if by is not None else without
+    unknown = [c for c in pool if c not in series_cols]
+    if unknown:
+        raise ValueError(f"labels not in series_cols: {unknown}")
+    if by is not None:
+        kept = [c for c in series_cols if c in by]
+    else:
+        kept = [c for c in series_cols if c not in without]
+    for q in quantiles:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    v = F.col(value_col).cast("double")
+    aggs = [
+        F.count(v).cast("long").alias("n_series"),
+        F.avg(v).alias("avg_val"),
+        F.stddev_pop(v).alias("stddev_val"),
+        F.var_pop(v).alias("stdvar_val"),
+    ]
+    aggs += [
+        F.percentile(v, F.lit(float(q))).alias(f"q_{str(q).replace('.', '_')}")
+        for q in quantiles
+    ]
+    return df.groupBy(*kept, "bucket_ms").agg(*aggs)
+
+
+def topk_by_labels(
+    df: DataFrame,
+    series_cols: list[str],
+    value_col: str,
+    k: int,
+    by: list[str] | None = None,
+    without: list[str] | None = None,
+    bottom: bool = False,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """PromQL ``topk(k, v) by (labels)`` / ``bottomk``: the k series
+    with the largest (smallest) value inside each (label cell, bucket)
+    -- full input rows survive, ranked. ONE row_number window per
+    group keyed on (kept labels, bucket): no global sort (the §2.6
+    discipline), deterministic via the tiebreak columns (PromQL's own
+    tie order is unspecified; we pin it). Hot label cells are the
+    cap_per_group skew posture: the window sorts-and-spills."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if (by is None) == (without is None):
+        raise ValueError("exactly one of by=/without= must be given")
+    pool = by if by is not None else without
+    unknown = [c for c in pool if c not in series_cols]
+    if unknown:
+        raise ValueError(f"labels not in series_cols: {unknown}")
+    if by is not None:
+        kept = [c for c in series_cols if c in by]
+    else:
+        kept = [c for c in series_cols if c not in without]
+    v = F.col(value_col).cast("double")
+    order = [v.asc() if bottom else v.desc()]
+    order += [F.col(c).asc() for c in (tiebreak_cols or series_cols)]
+    w = Window.partitionBy(*kept, "bucket_ms").orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -126,3 +126,97 @@ def test_aggregate_by_labels_vs_duckdb(spark, transcripts,
         aggregate_by_labels(t1h, SERIES, by=["role"], without=["tool"])
     with pytest.raises(ValueError):
         aggregate_by_labels(t1h, SERIES, by=["nope"])
+
+
+def test_aggregate_values_and_topk_by_labels_vs_duckdb(
+    spark, transcripts, transcripts_pdf
+):
+    """The statistical + ranked PromQL aggregation operators over the
+    1h tier's last_val: quantiles (selection law -> exact equality vs
+    quantile_cont), avg/stddev/stdvar (accumulated floats -> tolerance,
+    the deriv rule), and topk/bottomk row sets (deterministic under the
+    pinned tiebreak)."""
+    import duckdb
+    import pytest
+
+    from prom_tsdb_copyer_spark.operators.rollup import (
+        aggregate_values_by_labels,
+        rollup,
+        topk_by_labels,
+    )
+
+    t = rollup(transcripts, SERIES, "value", "1h")
+    got = {
+        (r["role"], r["bucket_ms"]): r
+        for r in aggregate_values_by_labels(
+            t, SERIES, "last_val", by=["role"], quantiles=(0.5, 0.9)
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("transcripts", transcripts_pdf)
+    rows = con.sql("""
+        WITH tier AS (
+          SELECT conv_id, role, tool,
+                 (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+                 arg_max(value, epoch_us(ts)) AS last_val
+          FROM transcripts GROUP BY 1, 2, 3, 4)
+        SELECT role, bucket_ms, count(last_val) AS n,
+               avg(last_val) AS a, stddev_pop(last_val) AS sd,
+               var_pop(last_val) AS vr,
+               quantile_cont(last_val, 0.5) AS q5,
+               quantile_cont(last_val, 0.9) AS q9
+        FROM tier GROUP BY 1, 2
+    """).fetchall()
+    assert len(rows) > 50 and len(rows) == len(got)
+    for role, b, n, a, sd, vr, q5, q9 in rows:
+        g = got[(role, int(b))]
+        assert g["n_series"] == int(n)
+        assert g["avg_val"] == pytest.approx(float(a), rel=1e-9)
+        if n > 1:
+            assert g["stddev_val"] == pytest.approx(float(sd), rel=1e-9)
+            assert g["stdvar_val"] == pytest.approx(float(vr), rel=1e-9)
+        # quantiles are selections/interpolations of two order stats:
+        # exact to rounding
+        assert g["q_0_5"] == pytest.approx(float(q5), abs=1e-9)
+        assert g["q_0_9"] == pytest.approx(float(q9), abs=1e-9)
+
+    top = topk_by_labels(t, SERIES, "last_val", 2, by=["role"])
+    got_top = {
+        (r["role"], r["bucket_ms"], r["rank"]):
+            (r["conv_id"], r["tool"], r["last_val"])
+        for r in top.collect()
+    }
+    want_top = {
+        (role, int(b), int(rk)): (c, tl, float(v))
+        for role, b, rk, c, tl, v in con.sql("""
+        WITH tier AS (
+          SELECT conv_id, role, tool,
+                 (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+                 arg_max(value, epoch_us(ts)) AS last_val
+          FROM transcripts GROUP BY 1, 2, 3, 4),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY role, bucket_ms
+            ORDER BY last_val DESC, conv_id, role, tool) AS rk
+          FROM tier)
+        SELECT role, bucket_ms, rk, conv_id, tool, last_val
+        FROM r WHERE rk <= 2
+        """).fetchall()
+    }
+    assert got_top == want_top and got_top
+    # bottomk inverts the value order
+    bot = topk_by_labels(t, SERIES, "last_val", 1, by=["role"],
+                         bottom=True)
+    for r in bot.collect():
+        grp = [
+            v for (role, b, _), (_, _, v) in want_top.items()
+            if role == r["role"] and b == r["bucket_ms"]
+        ]
+        if grp:
+            assert r["last_val"] <= min(grp)
+
+    with pytest.raises(ValueError):
+        aggregate_values_by_labels(t, SERIES, "last_val", by=["role"],
+                                   quantiles=(1.5,))
+    with pytest.raises(ValueError):
+        topk_by_labels(t, SERIES, "last_val", 0, by=["role"])

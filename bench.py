@@ -299,6 +299,29 @@ def run_bench() -> dict:
             transcripts, ["role", "tool"], "1h", "conv_id", hasher="fast"
         ).count()
 
+    from pyspark.sql import functions as F
+
+    from prom_tsdb_copyer_spark.operators.binop import vector_binop
+    from prom_tsdb_copyer_spark.operators.rollup import (
+        aggregate_by_labels,
+        rollup,
+    )
+
+    def binop_share_1h():
+        # r8 vector-matching join: per-series share of its role's
+        # hourly total -- group_left against the label-aggregated
+        # relation (the AQE-broadcast one side)
+        series = ["conv_id", "role", "tool"]
+        t = rollup(transcripts, series, "value", "1h")
+        sums = t.select(*series, "bucket_ms",
+                        F.col("sum_val").alias("value"))
+        totals = aggregate_by_labels(t, series, by=["role"]).select(
+            "role", "bucket_ms", F.col("sum_val").alias("value")
+        ).where("value <> 0")
+        return vector_binop(
+            sums, totals, "/", series, on=["role"], group="group_left"
+        ).count()
+
     # the large-n_cells broadcast-kernel path (VERDICT r6 #2): (a) the
     # same IVF-PQ query forced through the broadcast ADC/residual
     # kernels -- at toy scale the literal path is plan-analysis-bound,
@@ -373,6 +396,7 @@ def run_bench() -> dict:
         ("bloom_tier_1h", bloom_1h),
         ("cms_tier_1h_fast", cms_1h_fast),
         ("bloom_tier_1h_fast", bloom_1h_fast),
+        ("binop_share_1h", binop_share_1h),
     ):
         runs = [timed(fn)[0] for _ in range(3)]
         queries[nm] = round(min(runs), 3)

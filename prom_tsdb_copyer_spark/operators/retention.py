@@ -57,3 +57,48 @@ def expire_partitions(tier_path: str, cutoff_ms: int) -> list[str]:
             shutil.rmtree(p)
             deleted.append(p.name)
     return deleted
+
+
+def enforce_retention_overrides(
+    tier_df: DataFrame,
+    base_cutoff_ms: int,
+    overrides: list[tuple[list[str], int]],
+    labels: dict | None = None,
+    metric_name: str = "turns",
+) -> DataFrame:
+    """Per-label retention overrides on top of the tier policy: keep
+    some series classes longer (or shorter) than the tier default --
+    e.g. ``[(["role=error"], longer_cutoff)]``. Each override is
+    (matcher strings, cutoff_ms); the FIRST matching rule wins, rows
+    matching no rule use `base_cutoff_ms`. Matcher semantics are the
+    ingest/select ones (matchers.py, null ≡ "").
+
+    Two-layer contract, same as the base policy: this is the LOGICAL
+    layer (and the rewrite predicate). Physically, day-partition drops
+    (`expire_partitions`) may only use min(all cutoffs) -- partitions
+    mix label values -- and rows between that floor and their rule's
+    cutoff are removed by rewriting the affected partitions with this
+    relation (Iceberg analog: a row-level DELETE / rewrite_data_files
+    pass; the same maintenance slot as compact_neardup_index).
+
+    Pure codegen: one nested CASE over matcher predicates, then a
+    single comparison -- pushdown-eligible, no UDF, no shuffle."""
+    from ..matchers import transcript_labels, matchers_predicate
+
+    lbls = labels if labels is not None else transcript_labels(metric_name)
+    eff = F.lit(int(base_cutoff_ms)).cast("long")
+    # build the CASE inside-out so the FIRST listed rule is the
+    # OUTERMOST when => checked first (first-match-wins)
+    for ms, cut in reversed(overrides):
+        eff = F.when(
+            matchers_predicate(list(ms), lbls), F.lit(int(cut)).cast("long")
+        ).otherwise(eff)
+    return tier_df.where(F.col("bucket_ms") >= eff)
+
+
+def min_cutoff_ms(
+    base_cutoff_ms: int, overrides: list[tuple[list[str], int]]
+) -> int:
+    """The physical partition-drop floor: no partition at/after this
+    may be dropped wholesale, because some rule retains rows in it."""
+    return min([int(base_cutoff_ms), *[int(c) for _, c in overrides]])

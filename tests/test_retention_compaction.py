@@ -112,3 +112,59 @@ def test_compaction_crash_hygiene(spark, transcripts, tmp_path):
     compact_partitions(spark, str(tier))
     assert spark.read.parquet(str(tier)).count() == before
     assert not list(tier.glob(".compact-tmp.*")) and not list(tier.glob(".old.*"))
+
+
+def test_retention_overrides_first_match_wins(spark, transcripts):
+    """Per-label retention overrides vs a pandas recompute of the same
+    first-match-wins rule table: tool=search kept ~forever, role=tool
+    (which INCLUDES every search row -- the shadowing that makes
+    first-match-wins observable) expired harder than base, everything
+    else on the base cutoff; the physical drop floor is the min
+    cutoff."""
+    from prom_tsdb_copyer_spark.operators.retention import (
+        enforce_retention_overrides,
+        min_cutoff_ms,
+    )
+    from prom_tsdb_copyer_spark.operators.rollup import rollup
+
+    series = ["conv_id", "role", "tool"]
+    tier = rollup(transcripts, series, "value", "1h")
+    lo = tier.agg(F.min("bucket_ms")).first()[0]
+    hi = tier.agg(F.max("bucket_ms")).first()[0]
+    base = lo + (hi - lo) // 2
+    keep_all, drop_more = lo, lo + 3 * (hi - lo) // 4
+    # every tool=search row also matches role=tool: the FIRST rule must
+    # win or search rows would expire at drop_more
+    rules = [(["tool=search"], keep_all), (["role=tool"], drop_more)]
+    got = {
+        (r["conv_id"], r["role"], r["tool"], r["bucket_ms"])
+        for r in enforce_retention_overrides(tier, base, rules).collect()
+    }
+    p = tier.toPandas()
+
+    def cutoff(row):
+        if (row["tool"] or "") == "search":
+            return keep_all
+        if row["role"] == "tool":
+            return drop_more
+        return base
+
+    keep = p[p.apply(lambda r: r["bucket_ms"] >= cutoff(r), axis=1)]
+    want = {
+        (r.conv_id, r.role, r.tool, int(r.bucket_ms))
+        for r in keep.itertuples()
+    }
+    assert got == want and got
+    # all three regimes genuinely exercised:
+    assert any(
+        k[3] < base and k[2] == "search" for k in got
+    )  # search rows below base survive (rule 1 beat rule 2)
+    dropped = {
+        (r.conv_id, r.role, r.tool, int(r.bucket_ms))
+        for r in p.itertuples()
+    } - want
+    assert any(
+        base <= k[3] < drop_more and k[1] == "tool" for k in dropped
+    )  # non-search tool rows above base died (rule 2 applied)
+    assert any(k[3] >= base and k[1] != "tool" for k in got)
+    assert min_cutoff_ms(base, rules) == keep_all

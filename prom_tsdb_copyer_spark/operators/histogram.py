@@ -201,3 +201,58 @@ def hist_fraction(
         mass / F.col("hist_count"),
     ).otherwise(F.lit(float("nan")))
     return tier_df.withColumn(out_col, F.round(frac, 6))
+
+
+def value_hist_tier(
+    df: DataFrame,
+    series_cols: list[str],
+    tier: str | int,
+    value_col: str,
+    bounds: tuple[float, ...] = DEFAULT_BOUNDS,
+    ts_col: str = "ts",
+    cluster: tuple[int, int, int] | None = None,
+) -> DataFrame:
+    """Derive a classic-histogram tier from RAW FLOAT samples: the
+    mergeable quantile sketch of the cascade family. Where the numeric
+    rollup loses the distribution (only min/max survive) and exact
+    percentiles need the raw scan (`quantile_over_time`), this tier
+    keeps a fixed-bin CDF per (series, bucket) that merges LOSSLESSLY
+    upward (cumulative counts add) and answers quantile/fraction
+    queries at any grain via the existing `hist_quantile` /
+    `hist_fraction` interpolation laws -- the TimescaleDB
+    percentile-rollup design, with bounds as the accuracy knob.
+
+    Output schema == `hist_rollup`'s (hist_count, hist_sum,
+    hist_buckets cumulative per bound), so `hist_reaggregate` and both
+    read laws apply unchanged. One groupBy with len(bounds)
+    conditional counts -- all algebraic, map-side combined, exact
+    BIGINTs (DuckDB-twinnable cell for cell).
+
+    Convention: observations are expected in [0, +inf) like classic
+    Prometheus buckets; values above the last bound live in the +Inf
+    mass (hist_count), values <= 0 land in every bucket and interpolate
+    as first-bucket mass."""
+    from .rollup import _clustered
+
+    tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
+    v = F.col(value_col).cast("double")
+    prepared = df.withColumn(
+        "bucket_ms", bucket_ms_col(F.col(ts_col), tier_ms)
+    )
+    extra: list[str] = []
+    if cluster is not None:
+        prepared, extra = _clustered(prepared, cluster)
+    out = (
+        prepared.groupBy(*extra, *series_cols, "bucket_ms")
+        .agg(
+            F.count(v).cast("long").alias("hist_count"),
+            F.sum(v).alias("hist_sum"),
+            F.array(
+                *[
+                    F.count(F.when(v <= F.lit(float(b)), 1)).cast("long")
+                    for b in bounds
+                ]
+            ).alias("hist_buckets"),
+        )
+    )
+    return out.drop(*extra) if extra else out

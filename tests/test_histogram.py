@@ -178,3 +178,85 @@ def test_flagship_pipeline_dispatches_histograms(spark, hists, tmp_path):
     ResumableRollup(CopyJob(tiers=("1h",)), root2, DAY_MS).run(df, lo, hi)
     total_in = sum(e.rows_in for e in read_manifest(root2).values())
     assert total_in == df.count()
+
+
+def test_value_hist_tier_merge_law_quantile_and_duckdb(
+    spark, transcripts, transcripts_pdf
+):
+    """Float-sample histogram tier (the cascade's mergeable quantile
+    sketch): (1) 1m->1h re-aggregation == the 1h tier built from raw,
+    cell for cell (lossless CDF merge); (2) the cells == a DuckDB
+    recompute (exact BIGINT conditional counts); (3) hist_quantile
+    over the derived tier brackets the true percentile within one
+    bucket (the accuracy the bounds knob buys)."""
+    import duckdb
+    import numpy as np
+
+    from prom_tsdb_copyer_spark.operators.histogram import (
+        hist_quantile,
+        hist_reaggregate,
+        value_hist_tier,
+    )
+
+    series = ["conv_id", "role", "tool"]
+    bounds = (5.0, 15.0, 40.0)
+    t1m = value_hist_tier(transcripts, series, "1m", "value", bounds)
+    merged = hist_reaggregate(t1m, series, "1h", len(bounds))
+    direct = value_hist_tier(transcripts, series, "1h", "value", bounds)
+
+    def cells(df):
+        return {
+            tuple(r[c] for c in [*series, "bucket_ms"]):
+                (r["hist_count"], tuple(r["hist_buckets"]))
+            for r in df.collect()
+        }
+
+    got = cells(direct)
+    assert cells(merged) == got and got
+
+    con = duckdb.connect()
+    con.register("transcripts", transcripts_pdf)
+    conds = ", ".join(
+        f"count(*) FILTER (value <= {b})::BIGINT" for b in bounds
+    )
+    want = {
+        (c, ro, tl, int(bm)): (int(n), tuple(int(x) for x in bs))
+        for c, ro, tl, bm, n, *bs in con.sql(f"""
+        SELECT conv_id, role, tool,
+               (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+               count(value)::BIGINT, {conds}
+        FROM transcripts GROUP BY 1, 2, 3, 4
+        """).fetchall()
+    }
+    assert got == want
+
+    # quantile bracket: q50 from the sketch lies within the bucket
+    # that contains the true (interpolated) median
+    q = {
+        tuple(r[c] for c in [*series, "bucket_ms"]): r["quantile"]
+        for r in hist_quantile(direct, 0.5, bounds).collect()
+    }
+    p = transcripts_pdf.copy()
+    p["bucket_ms"] = (
+        (p["ts"].astype("int64") // 1_000_000) // 3_600_000
+    ) * 3_600_000
+    checked = 0
+    for key, g in p.groupby(["conv_id", "role", "tool", "bucket_ms"],
+                            dropna=False):
+        key = (key[0], key[1], None if key[2] != key[2] else key[2],
+               int(key[3]))
+        if key not in q:
+            continue
+        true_med = float(np.percentile(g["value"], 50))
+        got_q = q[key]
+        if true_med > bounds[-1]:
+            assert got_q == bounds[-1]  # +Inf convention
+        else:
+            import bisect
+
+            b_i = bisect.bisect_left(bounds, true_med)
+            lo = 0.0 if b_i == 0 else bounds[b_i - 1]
+            hi = bounds[b_i]
+            assert lo - 1e-9 <= got_q <= hi + 1e-9, (key, got_q, true_med)
+        checked += 1
+    assert checked > 100

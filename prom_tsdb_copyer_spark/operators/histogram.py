@@ -231,7 +231,15 @@ def value_hist_tier(
     Convention: observations are expected in [0, +inf) like classic
     Prometheus buckets; values above the last bound live in the +Inf
     mass (hist_count), values <= 0 land in every bucket and interpolate
-    as first-bucket mass."""
+    as first-bucket mass.
+
+    Relation to the struct path: equals `make_histogram` |>
+    `hist_rollup` on the shared bound prefix (equality pinned in
+    tests) -- this direct form skips the per-row struct/array
+    projection, aggregating the raw column straight into the
+    conditional counts; the struct path remains the ingest shape for
+    histogram-NATIVE sources and the streaming twin
+    (`streaming_hist_tier_1m`)."""
     from .rollup import _clustered
 
     tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)

@@ -260,3 +260,39 @@ def test_value_hist_tier_merge_law_quantile_and_duckdb(
             assert lo - 1e-9 <= got_q <= hi + 1e-9, (key, got_q, true_med)
         checked += 1
     assert checked > 100
+
+
+def test_value_hist_tier_equals_struct_path(spark, transcripts):
+    """The direct conditional-count form == make_histogram |>
+    hist_rollup on the shared bound prefix (the struct path carries an
+    extra explicit +Inf slot that must equal hist_count)."""
+    from prom_tsdb_copyer_spark.operators.histogram import (
+        hist_rollup,
+        make_histogram,
+        value_hist_tier,
+    )
+
+    series = ["conv_id", "role", "tool"]
+    bounds = (5.0, 15.0, 40.0)
+    direct = value_hist_tier(transcripts, series, "1h", "value", bounds)
+    struct = hist_rollup(
+        make_histogram(transcripts, "value", bounds),
+        series, "1h", len(bounds) + 1,
+    )
+
+    def keyed(df, n):
+        return {
+            tuple(r[c] for c in [*series, "bucket_ms"]):
+                (r["hist_count"], round(r["hist_sum"], 6),
+                 tuple(r["hist_buckets"][:n]))
+            for r in df.collect()
+        }
+
+    d = keyed(direct, len(bounds))
+    st = keyed(struct, len(bounds))
+    assert d == st and d
+    # the struct path's +Inf slot == hist_count everywhere
+    assert all(
+        r["hist_buckets"][-1] == r["hist_count"]
+        for r in struct.collect()
+    )

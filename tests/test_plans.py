@@ -273,3 +273,81 @@ def test_dsir_scoring_broadcasts_ratio_map_no_window(spark):
     p = _plan(dsir_weights(docs, tgt, n_buckets=64))
     assert "BroadcastHashJoin" in p
     assert "Window" not in p
+
+
+def test_bloom_and_cms_tier_single_exchange_partial_combine(spark):
+    """Sketch builds are the rollup's topology: exactly ONE Exchange,
+    with a partial aggregate (count cells / distinct bits) BEFORE it --
+    the map side absorbs the explode(depth|k) fan-out, so at most
+    |groups|*cells rows move (PLANS.md, count-min/Bloom sections)."""
+    from prom_tsdb_copyer_spark.operators.sketches import (
+        bloom_tier,
+        cms_tier,
+    )
+
+    for build in (
+        cms_tier(_tiny(spark), SERIES, "1h", "role"),
+        bloom_tier(_tiny(spark), SERIES, "1h", "role"),
+        cms_tier(_tiny(spark), SERIES, "1h", "role", hasher="fast"),
+    ):
+        p = _plan(build)
+        assert p.count("Exchange") == 1
+        # partial (map-side) aggregate precedes the exchange
+        first_agg = p.index("HashAggregate")
+        assert first_agg >= 0 and p.index("Exchange") > first_agg
+
+
+def test_binop_is_equijoin_never_cartesian(spark):
+    """vector_binop's match is a hash-partitioned equi-join: no
+    CartesianProduct / BroadcastNestedLoop in any mode (the IEEE when
+    branches are projections, not join conditions)."""
+    from prom_tsdb_copyer_spark.operators.binop import vector_binop
+    from prom_tsdb_copyer_spark.operators.rollup import (
+        aggregate_by_labels,
+        rollup,
+    )
+
+    t = rollup(_tiny(spark), SERIES, "value", "1h")
+    sums = t.select(*SERIES, "bucket_ms", F.col("sum_val").alias("value"))
+    cnts = t.select(*SERIES, "bucket_ms",
+                    F.col("cnt").cast("double").alias("value"))
+    totals = aggregate_by_labels(t, SERIES, by=["role"]).select(
+        "role", "bucket_ms", F.col("sum_val").alias("value")
+    )
+    for out in (
+        vector_binop(sums, cnts, "/", SERIES),
+        vector_binop(sums, totals, "/", SERIES, on=["role"],
+                     group="group_left"),
+        vector_binop(sums, cnts, ">", SERIES, bool_mode=True),
+    ):
+        p = _plan(out)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoop" not in p
+        assert "Join" in p
+
+
+def test_value_hist_tier_single_aggregation(spark):
+    """The float-histogram tier is ONE aggregation over the raw scan
+    (one Exchange); the conditional counts never explode rows."""
+    from prom_tsdb_copyer_spark.operators.histogram import value_hist_tier
+
+    p = _plan(value_hist_tier(_tiny(spark), SERIES, "1h", "value"))
+    assert p.count("Exchange") == 1
+    assert "Generate" not in p  # no explode anywhere
+
+
+def test_retention_overrides_pure_filter(spark):
+    """Per-label retention is a FILTER over the tier relation -- no
+    join, no exchange, no UDF (a nested-CASE cutoff comparison)."""
+    from prom_tsdb_copyer_spark.operators.retention import (
+        enforce_retention_overrides,
+    )
+    from prom_tsdb_copyer_spark.operators.rollup import rollup
+
+    t = rollup(_tiny(spark), SERIES, "value", "1h")
+    base_exchanges = _plan(t).count("Exchange")
+    p = _plan(enforce_retention_overrides(
+        t, 0, [(["role=tool"], 1), (["tool=search"], 2)]
+    ))
+    assert p.count("Exchange") == base_exchanges  # filter adds none
+    assert "Join" not in p and "BatchEvalPython" not in p

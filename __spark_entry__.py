@@ -1318,7 +1318,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     estimates), Bloom full chain (bits + membership), idelta/irate,
     quantile_over_time, count_values, mad_over_time,
     perplexity_buckets (rank law), aggregate_by_labels,
-    last_over_time, absent_over_time, label_replace/label_join.
+    last_over_time, absent_over_time, label_replace/label_join,
+    vector_binop (1:1 ratio + group_left share), value_hist_tier
+    (exact CDF cells), quantile/topk_by_labels (selection laws),
+    time_fn (calendar parts), clamp/round_to_nearest.
     """
     return {
         "tier_rollup_1m": q_tier_rollup_1m,

@@ -301,6 +301,16 @@ def run_bench() -> dict:
 
     from pyspark.sql import functions as F
 
+    from prom_tsdb_copyer_spark.operators.histogram import value_hist_tier
+
+    def value_hist_1h():
+        # r8 mergeable quantile-sketch tier: fixed-bin CDF per
+        # (series, hour) from raw floats, one aggregation
+        return value_hist_tier(
+            transcripts, ["conv_id", "role", "tool"], "1h", "value",
+            bounds=(2.0, 5.0, 10.0, 20.0, 40.0, 80.0),
+        ).count()
+
     from prom_tsdb_copyer_spark.operators.binop import vector_binop
     from prom_tsdb_copyer_spark.operators.rollup import (
         aggregate_by_labels,
@@ -397,6 +407,7 @@ def run_bench() -> dict:
         ("cms_tier_1h_fast", cms_1h_fast),
         ("bloom_tier_1h_fast", bloom_1h_fast),
         ("binop_share_1h", binop_share_1h),
+        ("value_hist_tier_1h", value_hist_1h),
     ):
         runs = [timed(fn)[0] for _ in range(3)]
         queries[nm] = round(min(runs), 3)

@@ -115,6 +115,7 @@ def vector_binop(
     value_col: str = "value",
     time_col: str = "bucket_ms",
     strict: bool = False,
+    null_safe: bool = True,
 ) -> DataFrame:
     """``left <op> right`` with PromQL vector matching.
 
@@ -130,6 +131,10 @@ def vector_binop(
       ``bool_mode`` emits 1.0/0.0 like PromQL's ``bool`` modifier.
     * ``strict=True`` probes the one side(s) for duplicate match
       groups and raises (one bounded aggregation per checked side).
+    * ``null_safe=False`` uses plain equality keys (rows with a null
+      match label drop, like SQL) -- correct over ""-normalized
+      relations (bucketed tiers) and required for the shuffle-free
+      bucketed join path.
     """
     if op not in _ARITH and op not in _CMP:
         raise ValueError(f"unknown op {op!r}")
@@ -162,9 +167,19 @@ def vector_binop(
         *[c for c in many_keep if c != value_col],
         F.col(value_col).cast("double").alias("_mv"),
     )
+    # null_safe=False is the bucketed-tier fast path: plain equality
+    # keys match a bucketed table's hash distribution so Catalyst can
+    # drop the shuffle (write_bucketed_tier normalizes null labels to
+    # "" precisely to make this lossless); eqNullSafe's coalesce/isnull
+    # key expressions cannot reuse the bucket distribution
     cond = F.lit(True)
     for c in jk:
-        cond = cond & F.col(c).eqNullSafe(F.col(f"_o_{c}"))
+        pair = (
+            F.col(c).eqNullSafe(F.col(f"_o_{c}"))
+            if null_safe
+            else F.col(c) == F.col(f"_o_{c}")
+        )
+        cond = cond & pair
     joined = many_sel.join(one_sel, on=cond, how="inner")
 
     lv = F.col("_mv") if group != "group_right" else F.col("_ov")

@@ -194,3 +194,68 @@ def write_tier(
             .option("parquet.compression.codec.zstd.level", ZSTD_LEVEL)
             .option("parquet.enable.dictionary", PARQUET_DICT)
             .mode(mode).parquet(path))
+
+
+def write_bucketed_tier(
+    df: DataFrame,
+    table_name: str,
+    series_cols: list[str],
+    n_buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+    bucket_cols: list[str] | None = None,
+) -> None:
+    """Bucketed tier sink: hash-bucket by (series..., bucket_ms) and
+    sort files the same way -- the Spark answer to repeated read-side
+    joins and re-aggregations at scale (Iceberg analog: a `bucket(N,
+    ...)` partition transform).
+
+    What bucketing buys on the read side (plan-pinned in test_plans):
+    an equi-join whose keys EQUAL the bucket columns -- vector_binop
+    between two tiers, gap-fill's calendar join -- and a groupBy on
+    exactly those keys run WITHOUT an exchange on the bucketed
+    side(s): the table's hash distribution replaces the shuffle,
+    turning every downstream consumer of a hot tier from
+    shuffle-bound to scan-bound. The equality is load-bearing:
+    Spark's v1 bucketing declines superset join keys (measured --
+    `Bucketed: false (disabled by query planner)`), so the spec
+    defaults to the full (series..., bucket_ms) join shape;
+    `bucket_cols` overrides it (e.g. series-only for
+    series-keyed probe joins). The day partition layout
+    (`write_tier`) remains the TIME-pruning sink; a tier consumed
+    mostly by keyed joins materializes bucketed instead (or
+    additionally -- storage is the cheap axis at 100TB).
+
+    `path` makes the table EXTERNAL at that location (tests point it
+    at a tmp dir); bucket metadata lives in the session catalog, which
+    is the piece plain `write.parquet` cannot record."""
+    if not series_cols:
+        raise ValueError("series_cols must be non-empty")
+    bucket_cols = (
+        list(bucket_cols) if bucket_cols is not None
+        else [*series_cols, "bucket_ms"]
+    )
+    # normalize null labels to "" at write time (lossless under the
+    # engine's null-equals-empty matcher convention): downstream joins
+    # can then use PLAIN equality on the bucket columns -- eqNullSafe
+    # compiles to coalesce()/isnull() key expressions, which do NOT
+    # match the table's hash distribution and would re-insert the
+    # exchange bucketing exists to remove
+    out = df
+    for c in series_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c).cast("string"), F.lit("")))
+    w = (
+        out.write.format("parquet")
+        .bucketBy(n_buckets, bucket_cols[0], *bucket_cols[1:])
+        .sortBy(*bucket_cols)
+        .mode(mode)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
+def read_bucketed_tier(spark, table_name: str) -> DataFrame:
+    """Catalog read of a bucketed tier -- the bucket spec rides along,
+    which is what lets Catalyst drop exchanges downstream."""
+    return spark.table(table_name)

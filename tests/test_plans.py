@@ -351,3 +351,72 @@ def test_retention_overrides_pure_filter(spark):
     ))
     assert p.count("Exchange") == base_exchanges  # filter adds none
     assert "Join" not in p and "BatchEvalPython" not in p
+
+
+def test_bucketed_tier_joins_and_reaggs_without_exchange(
+    spark, transcripts, tmp_path
+):
+    """Bucketed tier storage (sources/tables.py:write_bucketed_tier):
+    (1) a vector_binop between two tiers bucketed on the same series
+    keys runs with ZERO Exchange (the catalog bucket spec replaces the
+    shuffle); (2) reaggregating the bucketed tier to 1d adds no
+    exchange either; (3) values are identical to the plain-parquet
+    path (bucketing is layout, not semantics)."""
+    from prom_tsdb_copyer_spark.operators.binop import vector_binop
+    from prom_tsdb_copyer_spark.operators.rollup import reaggregate, rollup
+    from prom_tsdb_copyer_spark.sources.tables import (
+        read_bucketed_tier,
+        write_bucketed_tier,
+    )
+
+    t = rollup(transcripts, SERIES, "value", "1h")
+    for name, sub in [("bt_sums", "sum_val"), ("bt_cnts", "cnt")]:
+        write_bucketed_tier(
+            t.select(*SERIES, "bucket_ms",
+                     F.col(sub).cast("double").alias("value")),
+            name, SERIES, n_buckets=8, path=str(tmp_path / name),
+        )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sums = read_bucketed_tier(spark, "bt_sums")
+        cnts = read_bucketed_tier(spark, "bt_cnts")
+        # null_safe=False: the bucketed write ""-normalized the labels,
+        # so plain equality is lossless AND matches the bucket hash
+        joined = vector_binop(sums, cnts, "/", SERIES, null_safe=False)
+        p = _plan(joined)
+        assert "Exchange" not in p and p.count("Bucketed: true") == 2, p
+        got = {
+            tuple(r[c] for c in [*SERIES, "bucket_ms"]):
+                round(r["value"], 9)
+            for r in joined.collect()
+        }
+        plain = vector_binop(
+            t.select(*SERIES, "bucket_ms",
+                     F.col("sum_val").alias("value")),
+            t.select(*SERIES, "bucket_ms",
+                     F.col("cnt").cast("double").alias("value")),
+            "/", SERIES,
+        )
+        want = {
+            (c, r, tl or "", b): v
+            for (c, r, tl, b), v in (
+                (tuple(row[x] for x in [*SERIES, "bucket_ms"]),
+                 round(row["value"], 9))
+                for row in plain.collect()
+            )
+        }
+        assert got == want and got
+
+        # aggregation on exactly the bucket columns -> no exchange
+        reagg = (
+            read_bucketed_tier(spark, "bt_sums")
+            .groupBy(*SERIES, "bucket_ms")
+            .agg(F.sum("value").alias("s"))
+        )
+        p2 = _plan(reagg)
+        assert "Exchange" not in p2 and "Bucketed: true" in p2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        for name in ("bt_sums", "bt_cnts"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -317,6 +317,42 @@ def run_bench() -> dict:
         rollup,
     )
 
+    def binop_ratio_pair():
+        # r8 bucketed-storage evidence: the SAME 1:1 tier join
+        # (sum_val/cnt on the full (series, hour) key) over plain
+        # relations vs catalog tables bucketed on exactly that key --
+        # the delta is the shuffle the bucket layout removes. Returns
+        # (plain_s, write_s, bucketed_s); recorded as three keys.
+        from prom_tsdb_copyer_spark.sources.tables import (
+            read_bucketed_tier,
+            write_bucketed_tier,
+        )
+
+        series = ["conv_id", "role", "tool"]
+        t = rollup(transcripts, series, "value", "1h")
+        sums = t.select(*series, "bucket_ms",
+                        F.col("sum_val").alias("value"))
+        cnts = t.select(*series, "bucket_ms",
+                        F.col("cnt").cast("double").alias("value"))
+        t0 = time.monotonic()
+        vector_binop(sums, cnts, "/", series).count()
+        plain_s = time.monotonic() - t0
+        t0 = time.monotonic()
+        for name, rel in (("bench_bt_sums", sums), ("bench_bt_cnts", cnts)):
+            write_bucketed_tier(rel, name, series, n_buckets=32,
+                                path=f"/tmp/{name}", mode="overwrite")
+        write_s = time.monotonic() - t0
+        t0 = time.monotonic()
+        vector_binop(
+            read_bucketed_tier(spark, "bench_bt_sums"),
+            read_bucketed_tier(spark, "bench_bt_cnts"),
+            "/", series, null_safe=False,
+        ).count()
+        bucketed_s = time.monotonic() - t0
+        for name in ("bench_bt_sums", "bench_bt_cnts"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        return plain_s, write_s, bucketed_s
+
     def binop_share_1h():
         # r8 vector-matching join: per-series share of its role's
         # hourly total -- group_left against the label-aggregated
@@ -411,6 +447,13 @@ def run_bench() -> dict:
     ):
         runs = [timed(fn)[0] for _ in range(3)]
         queries[nm] = round(min(runs), 3)
+
+    # the bucketed-vs-plain pair runs ONCE (the write leg materializes
+    # catalog tables; min-of-3 would mostly re-time warm file caches)
+    plain_s, write_s, bucketed_s = binop_ratio_pair()
+    queries["binop_ratio_1h_plain"] = round(plain_s, 3)
+    queries["bucketed_tier_write"] = round(write_s, 3)
+    queries["binop_ratio_1h_bucketed"] = round(bucketed_s, 3)
 
     spark.stop()
     return {

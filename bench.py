@@ -64,6 +64,25 @@ def timed(fn):
     return time.monotonic() - t0, out
 
 
+def _host_calibration() -> float:
+    """Fixed CPU workload (seeded 3000x3000 float64 matmul through
+    the same BLAS the kernels use, min of 3): a code-independent
+    host-speed sample for normalizing records across measurement
+    windows. ~0.3-1 s per rep on this class of host."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((3000, 3000))
+    b = rng.standard_normal((3000, 3000))
+    best = None
+    for _ in range(3):
+        t0 = time.monotonic()
+        (a @ b).sum()
+        dt = time.monotonic() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 4)
+
+
 def run_bench() -> dict:
     from prom_tsdb_copyer_spark.session import get_spark
 
@@ -128,6 +147,14 @@ def run_bench() -> dict:
             file=sys.stderr,
         )
     loadavg_start = os.getloadavg()
+    # host CALIBRATION (late-r8): loadavg admission catches concurrent
+    # load but not the host's own throughput band -- two quiet windows
+    # on one day measured the byte-identical cascade at 16.17 s and
+    # 12.60 s (+-13%, BENCH.md). A fixed numpy matmul rides in every
+    # record as `host_calib_s` so records are normalizable
+    # code-independently: if the headline moves but the calibration
+    # moves with it, the host moved, not the engine.
+    host_calib_s = _host_calibration()
     cold_secs, _ = timed(full_cascade)
     queries["rollup_cascade_cold"] = round(cold_secs, 3)
     fresh()
@@ -469,6 +496,7 @@ def run_bench() -> dict:
         # sampled at bench start and right after the cascade legs
         "cascade_passes": cascade_passes,
         "loadavg_admission": loadavg_admission,
+        "host_calib_s": host_calib_s,
         "loadavg_start": [round(x, 2) for x in loadavg_start],
         "loadavg_after_cascade": [
             round(x, 2) for x in loadavg_after_cascade

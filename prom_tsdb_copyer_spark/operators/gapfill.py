@@ -30,6 +30,7 @@ def gapfill_locf(
     tier: str | int,
     fill_cols: tuple[str, ...] = ("last_val",),
     persist_tier: bool = False,
+    null_safe: bool = True,
 ) -> DataFrame:
     """Tier table -> dense per-series calendar with LOCF-filled values.
 
@@ -60,13 +61,23 @@ def gapfill_locf(
     )
     # series labels can legitimately be null (e.g. `tool` -- Prometheus
     # treats absent labels as ""), so the join must be NULL-safe: a plain
-    # equi-join would drop every null-labeled series' observations
+    # equi-join would drop every null-labeled series' observations.
+    # `null_safe=False` is the bucketed-tier fast path (the binop rule,
+    # operators/binop.py): over a ""-normalized bucketed tier, plain
+    # equality keys match the table's hash distribution so the calendar
+    # join runs without an exchange; eqNullSafe's coalesce/isnull keys
+    # cannot
     right = tier_df
     for c in [*series_cols, "bucket_ms"]:
         right = right.withColumnRenamed(c, f"_r_{c}")
     cond = F.lit(True)
     for c in [*series_cols, "bucket_ms"]:
-        cond = cond & F.col(c).eqNullSafe(F.col(f"_r_{c}"))
+        pair = (
+            F.col(c).eqNullSafe(F.col(f"_r_{c}"))
+            if null_safe
+            else F.col(c) == F.col(f"_r_{c}")
+        )
+        cond = cond & pair
     dense = calendar.join(right, on=cond, how="left").drop(
         *[f"_r_{c}" for c in [*series_cols, "bucket_ms"]]
     )

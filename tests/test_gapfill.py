@@ -63,3 +63,54 @@ def test_gapfill_creates_rows_and_preserves_observed(spark, transcripts):
     assert filled.where(~F.col("is_filled") & F.col("last_val").isNull()).count() == 0
     # filled rows carry no original aggregate
     assert filled.where(F.col("is_filled") & F.col("last_val").isNotNull()).count() == 0
+
+
+def test_gapfill_bucketed_fast_path_no_calendar_exchange(
+    spark, transcripts, tmp_path
+):
+    """Over a ""-normalized bucketed tier, gapfill's calendar join with
+    null_safe=False adds NO exchange for the join itself (the LOCF
+    window still shuffles once on series -- that exchange is the
+    operator's own), and values match the null-safe path modulo the
+    write-time ""-normalization of null labels."""
+    import io
+    from contextlib import redirect_stdout
+
+    from prom_tsdb_copyer_spark.operators.gapfill import gapfill_locf
+    from prom_tsdb_copyer_spark.operators.rollup import rollup
+    from prom_tsdb_copyer_spark.sources.tables import (
+        read_bucketed_tier,
+        write_bucketed_tier,
+    )
+
+    series = ["conv_id", "role", "tool"]
+    t = rollup(transcripts, series, "value", "1h")
+    write_bucketed_tier(
+        t, "gf_bt", series, n_buckets=8, path=str(tmp_path / "gf_bt")
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bt = read_bucketed_tier(spark, "gf_bt")
+        fast = gapfill_locf(bt, series, "1h", null_safe=False)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            fast.explain()
+        p = buf.getvalue()
+        # the bounds aggregate and the final LOCF window each own one
+        # exchange; the calendar JOIN must not add a third pair
+        assert p.count("Bucketed: true") >= 1, p
+        got = {
+            (r["conv_id"], r["role"], r["tool"], r["bucket_ms"]):
+                (r["is_filled"], r["last_val_filled"])
+            for r in fast.collect()
+        }
+        want = {
+            (r["conv_id"], r["role"], r["tool"] or "", r["bucket_ms"]):
+                (r["is_filled"], r["last_val_filled"])
+            for r in gapfill_locf(t, series, "1h").collect()
+        }
+        assert got == want and got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS gf_bt")

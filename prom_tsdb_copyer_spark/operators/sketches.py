@@ -486,3 +486,206 @@ def bloom_cascade(
     for finer, coarser in zip(tiers, tiers[1:]):
         out[coarser] = bloom_reaggregate(out[finer], series_cols, coarser)
     return out
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketches (Bar-Yossef et al. 2002; the
+# Datasketches theta-sketch family's relational ancestor)
+#
+# The fourth mergeable sketch, carrying the one capability the other
+# three cannot: SET OPERATIONS between buckets. HLL answers "how many
+# distinct", but not "how much does hour A's conversation set overlap
+# hour B's" -- KMV does, because the k smallest hashes of a set are a
+# uniform sample of it: the union sketch is min-k of the concatenated
+# sketches (EXACT merge, like Bloom's OR), and Jaccard is estimated by
+# counting union-sample members present in both sides. Everything is
+# selection algebra over BIGINT hashes (min-k, membership counts) --
+# no accumulated floats -- so the whole family is DuckDB-twinnable
+# and value-hash gateable.
+#
+# Relational layout: (series..., bucket_ms, h) with at most k rows per
+# group, h ascending-unique within the group. Build = one distinct +
+# one row_number window on the SAME keys (Catalyst reuses the
+# distinct's hash partitioning -- no second exchange; plan-pinned).
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+HASH60_SPACE = float(1 << 60)
+
+
+def kmv_tier(
+    df: DataFrame,
+    series_cols: list[str],
+    tier: str | int,
+    key_col: str,
+    ts_col: str = "ts",
+    k: int = KMV_K,
+) -> DataFrame:
+    """Raw rows -> (series..., bucket_ms, h): the k smallest distinct
+    hash60(key) values per (series, bucket). Null keys skipped (the
+    count-min convention). The window's skew posture is
+    cap_per_group's: a hot group sorts-and-spills, and only <= k rows
+    per group survive it."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hash60
+
+    tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
+    distinct_h = (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            *series_cols,
+            bucket_ms_col(F.col(ts_col), tier_ms).alias("bucket_ms"),
+            hash60(F.col(key_col).cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(*series_cols, "bucket_ms").orderBy(F.col("h"))
+    return (
+        distinct_h.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def kmv_reaggregate(
+    tier_df: DataFrame,
+    series_cols: list[str],
+    coarser: str | int,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Finer KMV tier -> coarser: re-bucket, dedup (one hash may
+    arrive from several finer buckets), keep the k smallest. EXACT:
+    the coarser sketch equals the one built directly from raw (min-k
+    over a union only needs each side's min-k; pinned in tests)."""
+    coarser_ms = TIER_MS[coarser] if isinstance(coarser, str) else int(coarser)
+    from pyspark.sql import Window
+
+    rebucket = (
+        F.floor(F.col("bucket_ms") / F.lit(coarser_ms)) * F.lit(coarser_ms)
+    ).alias("bucket_ms")
+    merged = tier_df.select(*series_cols, rebucket, "h").distinct()
+    w = Window.partitionBy(*series_cols, "bucket_ms").orderBy(F.col("h"))
+    return (
+        merged.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def kmv_estimate(
+    sketch_df: DataFrame,
+    group_cols: list[str],
+    k: int = KMV_K,
+) -> DataFrame:
+    """(group..., n_kept, kth_min, n_distinct_est): when a group kept
+    fewer than k hashes its distinct count is EXACT (= n_kept); at k
+    the estimator is (k-1) / (kth_min / 2^60). n_kept and kth_min are
+    exact selections (gateable); the estimate is their quotient."""
+    agg = sketch_df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("h").alias("kth_min"),
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (F.col("kth_min") / F.lit(HASH60_SPACE))
+    )
+    return agg.withColumn("n_distinct_est", F.round(est, 3))
+
+
+def kmv_jaccard_adjacent(
+    sketch_df: DataFrame,
+    series_cols: list[str],
+    tier: str | int,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Per series, the estimated Jaccard similarity between each
+    bucket's key set and the PREVIOUS bucket's -- window-over-window
+    set churn ("how much did this hour's conversation set overlap last
+    hour's"), the query HLL cannot answer. Output (series...,
+    bucket_ms, prev_bucket_ms, n_union_sample, n_both, jaccard_est).
+
+    Law: for sketches A (current) and B (previous), take the k
+    smallest of A ∪ B (each side's sketch suffices -- min-k
+    composes); J^ = |{h in that union sample: h in A AND h in B}| /
+    |union sample|. Exact integer counts (gateable); one self-join on
+    (series, bucket-tier_ms) moving <= k rows per group each way."""
+    tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
+    from pyspark.sql import Window
+
+    cur = sketch_df.alias("cur")
+    prev = sketch_df.select(
+        *[F.col(c).alias(f"_p_{c}") for c in series_cols],
+        (F.col("bucket_ms") + F.lit(tier_ms)).alias("_p_next"),
+        F.col("h").alias("_p_h"),
+        F.lit(True).alias("_in_prev"),
+    ).alias("prev")
+    cond = F.lit(True)
+    for c in series_cols:
+        cond = cond & F.col(f"cur.{c}").eqNullSafe(F.col(f"_p_{c}"))
+    cond_pair = cond & (F.col("cur.bucket_ms") == F.col("_p_next"))
+    # full outer per (pair, h): union of both sketches' hashes with
+    # side-membership flags
+    cur_side = sketch_df.select(
+        *series_cols, "bucket_ms", "h", F.lit(True).alias("_in_cur")
+    ).alias("cur")
+    joined = cur_side.join(
+        prev, cond_pair & (F.col("cur.h") == F.col("_p_h")), "full_outer"
+    )
+    # realign keys from whichever side is present; pairs only exist
+    # where BOTH buckets exist, so restrict to hashes whose pair key
+    # is resolvable on either side
+    pair_cols = [
+        F.coalesce(F.col(f"cur.{c}"), F.col(f"_p_{c}")).alias(c)
+        for c in series_cols
+    ]
+    u = joined.select(
+        *pair_cols,
+        F.coalesce(F.col("cur.bucket_ms"), F.col("_p_next"))
+        .alias("bucket_ms"),
+        F.coalesce(F.col("cur.h"), F.col("_p_h")).alias("h"),
+        F.coalesce(F.col("_in_cur"), F.lit(False)).alias("in_cur"),
+        F.coalesce(F.col("_in_prev"), F.lit(False)).alias("in_prev"),
+    )
+    # keep only (series, bucket) pairs where both sides exist
+    both_sides = (
+        u.groupBy(*series_cols, "bucket_ms")
+        .agg(
+            F.max(F.col("in_cur").cast("int")).alias("_has_cur"),
+            F.max(F.col("in_prev").cast("int")).alias("_has_prev"),
+        )
+        .where((F.col("_has_cur") == 1) & (F.col("_has_prev") == 1))
+        .select(*series_cols, "bucket_ms")
+    )
+    # the semi-join must be NULL-safe (a name-list join's plain
+    # equality silently drops every null-labeled series -- the
+    # gapfill/cms lesson, re-learned here on a toy before it shipped)
+    bs = both_sides
+    for c in [*series_cols, "bucket_ms"]:
+        bs = bs.withColumnRenamed(c, f"_b_{c}")
+    semi_cond = F.lit(True)
+    for c in [*series_cols, "bucket_ms"]:
+        semi_cond = semi_cond & F.col(c).eqNullSafe(F.col(f"_b_{c}"))
+    u = u.join(bs, on=semi_cond, how="leftsemi")
+    w = Window.partitionBy(*series_cols, "bucket_ms").orderBy(F.col("h"))
+    sample = u.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") <= k
+    )
+    return (
+        sample.groupBy(*series_cols, "bucket_ms")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_union_sample"),
+            F.sum(
+                (F.col("in_cur") & F.col("in_prev")).cast("long")
+            ).alias("n_both"),
+        )
+        .withColumn(
+            "prev_bucket_ms",
+            (F.col("bucket_ms") - F.lit(tier_ms)).cast("long"),
+        )
+        .withColumn(
+            "jaccard_est",
+            F.round(F.col("n_both") / F.col("n_union_sample"), 6),
+        )
+    )

@@ -470,3 +470,184 @@ def test_fast_hasher_preserves_sketch_laws(spark, transcripts,
 
     with pytest.raises(ValueError, match="hasher"):
         cms_tier(transcripts, SERIES, "1h", "role", hasher="md5")
+
+
+def test_kmv_merge_exact_estimates_and_adjacent_jaccard(
+    spark, transcripts, transcripts_pdf
+):
+    """KMV law pins: (1) re-aggregated 1h sketch == built-from-raw,
+    row for row (min-k composes exactly); (2) below-k groups estimate
+    EXACTLY (n_kept is the true distinct count); (3) at-k estimates
+    land within the standard KMV error band; (4) adjacent-bucket
+    Jaccard == the exact Jaccard wherever both buckets' key sets fit
+    inside the sketches (the fixture regime), and pairs exist only
+    where both buckets do."""
+    from prom_tsdb_copyer_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_jaccard_adjacent,
+        kmv_reaggregate,
+        kmv_tier,
+    )
+
+    t1m = kmv_tier(transcripts, SERIES, "1m", "text")
+    merged = kmv_reaggregate(t1m, SERIES, "1h")
+    direct = kmv_tier(transcripts, SERIES, "1h", "text")
+
+    def rows(df):
+        return {
+            tuple(r[c] for c in [*SERIES, "bucket_ms", "h"])
+            for r in df.collect()
+        }
+
+    d = rows(direct)
+    assert rows(merged) == d and d
+
+    p = transcripts_pdf.copy()
+    p["tool"] = p["tool"].fillna("<null>")
+    p["bucket_ms"] = (
+        (p["ts"].astype("int64") // 1_000_000) // 3_600_000
+    ) * 3_600_000
+    exact = p.groupby(
+        ["conv_id", "role", "tool", "bucket_ms"]
+    )["text"].nunique()
+    est = {
+        (r["conv_id"], r["role"], r["tool"] or "<null>", r["bucket_ms"]):
+            (r["n_kept"], r["n_distinct_est"])
+        for r in kmv_estimate(direct, [*SERIES, "bucket_ms"]).collect()
+    }
+    assert est
+    import math
+
+    for key, (n_kept, e) in est.items():
+        want = int(exact.loc[key])
+        if n_kept < 64:
+            assert e == float(want) == float(n_kept), (key, e, want)
+        else:
+            assert abs(e - want) <= want * (2.5 / math.sqrt(64))
+
+    # adjacent Jaccard at hour grain over conv_id -- within one
+    # conversation the per-hour text sets are small (< k), so the
+    # sketches are the full sets and J^ is exact
+    jac = kmv_jaccard_adjacent(direct, SERIES, "1h")
+    got = {
+        (r["conv_id"], r["role"], r["tool"] or "<null>",
+         r["bucket_ms"]): (r["n_both"], r["n_union_sample"],
+                           r["jaccard_est"])
+        for r in jac.collect()
+    }
+    assert got
+    sets = {
+        k2: set(g["text"])
+        for k2, g in p.groupby(["conv_id", "role", "tool", "bucket_ms"])
+    }
+    checked = 0
+    for (c, ro, tl, b), (nb, nu, je) in got.items():
+        cur = sets.get((c, ro, tl, b))
+        prv = sets.get((c, ro, tl, b - 3_600_000))
+        assert cur is not None and prv is not None  # pairs need both
+        if len(cur) < 64 and len(prv) < 64:
+            inter, union = len(cur & prv), len(cur | prv)
+            assert nb == inter and nu == min(64, union)
+            assert je == round(inter / union, 6) if union <= 64 else True
+            checked += 1
+    assert checked >= 15
+
+
+def test_kmv_vs_duckdb(spark, transcripts, transcripts_pdf):
+    """Gate-ready oracle SQL for the KMV family (r9 rotation fuel):
+    DuckDB recomputes the 1h min-k sketch (hash60 + row_number) and
+    the adjacent-bucket Jaccard counts -- all BIGINT selections, no
+    floats accumulated: value-hash promotable."""
+    import duckdb
+
+    from prom_tsdb_copyer_spark.functions.hashing import hash60_sql
+    from prom_tsdb_copyer_spark.operators.sketches import (
+        kmv_jaccard_adjacent,
+        kmv_tier,
+    )
+
+    t1h = kmv_tier(transcripts, SERIES, "1h", "text")
+    got = {
+        tuple(r[c] for c in [*SERIES, "bucket_ms", "h"])
+        for r in t1h.collect()
+    }
+    con = duckdb.connect()
+    con.register("transcripts", transcripts_pdf)
+    h = hash60_sql("text")
+    sketch_sql = f"""
+        WITH hashes AS (
+          SELECT DISTINCT conv_id, role, tool,
+                 (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+                 ({h}) AS h
+          FROM transcripts WHERE text IS NOT NULL),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY conv_id, role, tool, bucket_ms
+            ORDER BY h) AS rk
+          FROM hashes)
+        , sk AS (SELECT conv_id, role, tool, bucket_ms, h
+                 FROM ranked WHERE rk <= 64)
+    """
+    want = {
+        (c, r, t, int(b), int(hh))
+        for c, r, t, b, hh in con.sql(
+            sketch_sql + "SELECT * FROM sk"
+        ).fetchall()
+    }
+    assert got == want and got
+
+    jac = {
+        tuple(r[c] for c in [*SERIES, "bucket_ms"]):
+            (r["n_union_sample"], r["n_both"])
+        for r in kmv_jaccard_adjacent(t1h, SERIES, "1h").collect()
+    }
+    jac_sql = sketch_sql + """
+        , pairs AS (
+          SELECT cur.conv_id, cur.role, cur.tool, cur.bucket_ms,
+                 coalesce(cur.h, prv.h) AS h,
+                 cur.h IS NOT NULL AS in_cur,
+                 prv.h IS NOT NULL AS in_prev
+          FROM sk cur
+          FULL OUTER JOIN sk prv
+            ON prv.conv_id = cur.conv_id AND prv.role = cur.role
+           AND (prv.tool = cur.tool
+                OR (prv.tool IS NULL AND cur.tool IS NULL))
+           AND prv.bucket_ms = cur.bucket_ms - 3600000
+           AND prv.h = cur.h
+          WHERE cur.h IS NOT NULL),
+        prev_only AS (
+          SELECT prv.conv_id, prv.role, prv.tool,
+                 prv.bucket_ms + 3600000 AS bucket_ms, prv.h,
+                 FALSE AS in_cur, TRUE AS in_prev
+          FROM sk prv
+          WHERE NOT EXISTS (
+            SELECT 1 FROM sk cur
+            WHERE cur.conv_id = prv.conv_id AND cur.role = prv.role
+              AND (cur.tool = prv.tool
+                   OR (cur.tool IS NULL AND prv.tool IS NULL))
+              AND cur.bucket_ms = prv.bucket_ms + 3600000
+              AND cur.h = prv.h)),
+        u AS (SELECT * FROM pairs UNION ALL SELECT * FROM prev_only),
+        both_sides AS (
+          SELECT conv_id, role, tool, bucket_ms
+          FROM u GROUP BY 1, 2, 3, 4
+          HAVING max(in_cur::int) = 1 AND max(in_prev::int) = 1),
+        ranked2 AS (
+          SELECT u.*, row_number() OVER (
+            PARTITION BY u.conv_id, u.role, u.tool, u.bucket_ms
+            ORDER BY u.h) AS rk
+          FROM u SEMI JOIN both_sides b
+            ON u.conv_id = b.conv_id AND u.role = b.role
+           AND (u.tool = b.tool OR (u.tool IS NULL AND b.tool IS NULL))
+           AND u.bucket_ms = b.bucket_ms)
+        SELECT conv_id, role, tool, bucket_ms,
+               count(*) AS n_union_sample,
+               sum((in_cur AND in_prev)::int) AS n_both
+        FROM ranked2 WHERE rk <= 64
+        GROUP BY 1, 2, 3, 4
+    """
+    want_jac = {
+        (c, r, t, int(b)): (int(nu), int(nb))
+        for c, r, t, b, nu, nb in con.sql(jac_sql).fetchall()
+    }
+    assert jac == want_jac and jac

@@ -326,6 +326,15 @@ def run_bench() -> dict:
             transcripts, ["role", "tool"], "1h", "conv_id", hasher="fast"
         ).count()
 
+    from prom_tsdb_copyer_spark.operators.sketches import kmv_tier
+
+    def kmv_1h():
+        # fourth sketch (r8): min-k rows over the same payload; the
+        # window reuses the distinct's partitioning (PLANS.md)
+        return kmv_tier(
+            transcripts, ["role", "tool"], "1h", "conv_id"
+        ).count()
+
     from pyspark.sql import functions as F
 
     from prom_tsdb_copyer_spark.operators.histogram import value_hist_tier
@@ -469,6 +478,7 @@ def run_bench() -> dict:
         ("bloom_tier_1h", bloom_1h),
         ("cms_tier_1h_fast", cms_1h_fast),
         ("bloom_tier_1h_fast", bloom_1h_fast),
+        ("kmv_tier_1h", kmv_1h),
         ("binop_share_1h", binop_share_1h),
         ("value_hist_tier_1h", value_hist_1h),
     ):

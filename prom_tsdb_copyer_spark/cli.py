@@ -32,10 +32,16 @@ from datetime import datetime
 
 
 def parse_duration_ms(s: str) -> int:
-    """Go-style duration strings: 24h, 2h30m, 15s, 500ms, 1d (extension)."""
+    """Go-style duration strings: 24h, 2h30m, 15s, 500ms, 1d (extension).
+
+    The whole string must be a sequence of <int><unit> tokens -- Go's
+    time.ParseDuration errors on malformed input like "2x3h", which the
+    old findall-only loop silently read as 3h (VERDICT r8 nit #4)."""
     if s == "0":
         return 0
     units = {"d": 86400000, "h": 3600000, "m": 60000, "s": 1000, "ms": 1}
+    if not re.fullmatch(r"(?:\d+(?:ms|[dhms]))+", s):
+        raise ValueError(f"cannot parse duration {s!r}")
     out = 0
     for num, unit in re.findall(r"(\d+)(ms|[dhms])", s):
         out += int(num) * units[unit]

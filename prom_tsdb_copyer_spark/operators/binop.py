@@ -191,10 +191,14 @@ def vector_binop(
     if bool_mode:
         val = F.when(_CMP[op](lv, rv), F.lit(1.0)).otherwise(F.lit(0.0))
         return joined.select(*out_cols, val.alias(value_col))
-    # filter comparison: the surviving element is the MANY side's
-    # (PromQL keeps the left operand's sample in the 1:1 and
-    # group_left cases, where many == left; with group_right the
-    # result rows are the right side's elements)
+    # filter comparison: PromQL's vectorElemBinop always propagates the
+    # LEFT operand's VALUE for non-bool comparisons, while the surviving
+    # element's LABELS come from the many side. In the 1:1 and
+    # group_left cases many == left so label source and value source
+    # coincide (_mv); with group_right the rows carry the right (many)
+    # side's labels but must keep the LEFT operand's value, which is
+    # the `one` side there (_ov) -- ADVICE r8 #1.
+    surviving = F.col("_ov") if group == "group_right" else F.col("_mv")
     return joined.where(_CMP[op](lv, rv)).select(
-        *out_cols, F.col("_mv").alias(value_col)
+        *out_cols, surviving.alias(value_col)
     )

@@ -239,10 +239,17 @@ def shingle_sets(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, _set): each document's distinct shingle-hash set as ONE
-    array row -- the single aggregation the whole LSH pipeline hangs
-    off (signatures are a projection over it, verification intersects
-    it), so the explode+hash+shuffle over |docs| x |shingles| rows
-    happens exactly once and its exchange is reused across consumers."""
+    array row -- the relation the whole LSH pipeline hangs off
+    (signatures are a projection over it, verification intersects it).
+
+    The explode -> hash -> collect_set shuffle stays DELIBERATELY
+    (r9 audit, guide §1.2): the tempting zero-shuffle rewrite --
+    `array_distinct(transform(shingles, hash60))` as a pure
+    projection -- was built and measured 3x SLOWER end-to-end
+    (minhash_lsh_pairs cold 7.5 -> 23.8 s at sf0.1): higher-order
+    array lambdas are CodegenFallback, so the md5-per-shingle runs
+    interpreted, while the exploded rows hash inside WholeStageCodegen.
+    The shuffle it removed was the cheap part."""
     raw = docs.select(
         F.col(id_col),
         F.explode(shingle_col(F.col(text_col))).alias("sh"),

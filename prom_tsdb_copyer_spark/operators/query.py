@@ -399,6 +399,16 @@ def query_range(
     # (both pruning layers engage on the shifted range), then shift
     # bucket_ms forward again after the re-aggregation
     off = int(offset_ms)
+    if off % grain != 0:
+        # ADVICE r8 #4 (the step_ms alignment check's twin): a
+        # non-multiple offset cannot shift fixed tier buckets -- the
+        # +off relabel would report misaligned timestamps over
+        # un-shifted window contents. Refuse instead of answering wrong.
+        raise ValueError(
+            f"offset_ms={off} is not a multiple of the chosen tier "
+            f"grain ({grain} ms); snap the offset to the grain or "
+            "materialize a finer tier"
+        )
     tier, df = read_tier_auto(
         spark, out_root, step_ms,
         None if from_ms is None else from_ms - off,

@@ -94,7 +94,9 @@ def label_replace(
 
     if not _re.fullmatch(_LABEL_NAME, dst_label):
         raise ValueError(f"invalid destination label name {dst_label!r}")
-    _re.compile(regex)  # surface a bad pattern driver-side, like PromQL
+    # surface a bad pattern driver-side, like PromQL; the group count
+    # bounds template references below
+    n_groups = _re.compile(regex).groups
     anchored = f"^(?:{regex})$"
     src = (
         F.coalesce(F.col(src_label).cast("string"), F.lit(""))
@@ -104,6 +106,13 @@ def label_replace(
     chunks = []
     for part in _parse_template(replacement):
         if isinstance(part, int):
+            if part > n_groups:
+                # ADVICE r8 #5: Go's regexp.Expand expands a reference
+                # beyond the pattern's group count to the EMPTY string;
+                # Spark's regexp_extract would instead fail at execution
+                # time with an invalid-group error. Map it to "" (a
+                # no-op in the concat) driver-side.
+                continue
             # group 0 is the whole match; (?:...) keeps user group
             # numbers stable inside the anchor
             chunks.append(F.regexp_extract(src, anchored, part))

@@ -35,10 +35,31 @@ def _ln_law(log_fn):
     return law
 
 
+#: beyond 2^63 Spark's BIGINT ceil/floor would corrupt; every float64
+#: with |v| >= 2^53 is already an integer, so passing v through is the
+#: EXACT PromQL (Go math.Ceil/Floor) answer there -- and the same guard
+#: catches NaN/+-Inf, which BIGINT ceil/floor would map to 0 / 2^63
+#: (ADVICE r8 #2: ceil(NaN) must be NaN, ceil(Inf) must be Inf).
+_INT64_EDGE = 9.223372036854776e18
+
+
+def _int_law(int_fn):
+    def law(v: Column) -> Column:
+        return (
+            F.when(
+                v.isNull() | F.isnan(v) | (F.abs(v) >= F.lit(_INT64_EDGE)),
+                v,
+            )
+            .otherwise(int_fn(v).cast("double"))
+        )
+
+    return law
+
+
 VALUE_FNS = {
     "abs": F.abs,
-    "ceil": F.ceil,
-    "floor": F.floor,
+    "ceil": _int_law(F.ceil),
+    "floor": _int_law(F.floor),
     "exp": F.exp,
     "ln": _ln_law(F.log),
     "log2": _ln_law(F.log2),
@@ -81,9 +102,14 @@ def clamp(
         out = F.least(out, F.lit(float(max_val)))
     if min_val is not None and max_val is not None and min_val > max_val:
         out = _nan()
+    # NaN input short-circuits (ADVICE r8 #3): Spark's least/greatest
+    # order NaN as GREATEST (least(NaN, max) == max), but PromQL's
+    # clamp family (Go math.Min/Max) propagates NaN
     return df.withColumn(
         value_col,
-        F.when(v.isNull(), F.lit(None).cast("double")).otherwise(out),
+        F.when(v.isNull(), F.lit(None).cast("double"))
+        .when(F.isnan(v), v)
+        .otherwise(out),
     )
 
 
@@ -97,8 +123,15 @@ def round_to_nearest(
         raise ValueError(f"to_nearest must be > 0, got {to_nearest}")
     n = F.lit(float(to_nearest))
     v = F.col(value_col).cast("double")
+    x = v / n + F.lit(0.5)
+    # non-finite and >=2^63 inputs bypass the BIGINT floor (ADVICE r8
+    # #2's round_to_nearest leg): Go's float64 Floor passes NaN/Inf
+    # through, and beyond 2^53 scaled values are integers already --
+    # returning v is the exact Go result for |x| past the int64 edge
     return df.withColumn(
-        value_col, F.floor(v / n + F.lit(0.5)).cast("double") * n
+        value_col,
+        F.when(v.isNull() | F.isnan(v) | (F.abs(x) >= F.lit(_INT64_EDGE)), v)
+        .otherwise(F.floor(x).cast("double") * n),
     )
 
 

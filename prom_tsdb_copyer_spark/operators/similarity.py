@@ -131,7 +131,21 @@ def hyperplane_buckets(
 
 
 def _lit_vec(c: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in c])
+    """Literal float vector. Built as ONE parsed SQL expression when
+    every element is finite (r9, guide §1.2 step 2): the old
+    per-element form cost dim+1 py4j round trips per vector -- at 8
+    cells x 64 dims x several constructions per Lloyd iteration that
+    was ~0.5 s of pure DRIVER time per iteration (measured; execution
+    unchanged). `repr(float)` is the shortest round-tripping decimal
+    and Spark's parser reads it back to the identical double, so the
+    plan literals are bit-identical to F.lit's. Non-finite elements
+    (no SQL literal form) keep the per-element path."""
+    vals = [float(x) for x in c]
+    if all(np.isfinite(x) for x in vals):
+        return F.expr(
+            "array(" + ",".join(repr(x) + "D" for x in vals) + ")"
+        )
+    return F.array(*[F.lit(x) for x in vals])
 
 
 #: literal-fold ceiling (VERDICT r6 #2): the literal-centroid/codebook
@@ -1079,6 +1093,7 @@ def pq_encode(
     vec_col: str = "embedding",
     out_col: str = "codes",
     method: str = "auto",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, codes): each vector compressed to m small ints -- the PQ
     index relation. Below LITERAL_CELL_LIMIT codebook entries (m*k), a
@@ -1086,7 +1101,12 @@ def pq_encode(
     the broadcast-codebook mapInPandas kernel (zero exchange either
     way, parity pinned in tests). At m=8 over 64-dim doubles the index
     is ~16x fewer bytes than the raw vectors, which is the entire
-    scan/shuffle story of PQ at corpus scale."""
+    scan/shuffle story of PQ at corpus scale.
+
+    `keep` names extra input columns carried through the projection --
+    the IVF-PQ callers thread `cell` this way, so attaching it costs
+    nothing (r9: the previous join-back on id re-executed the whole
+    assign->residual lineage AND paid a join; guide §2.4)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     vec = F.col(vec_col)
@@ -1094,13 +1114,15 @@ def pq_encode(
     if _resolve_method(method, m * len(codebooks[0])) == "broadcast":
         code_cols = [f"__c{j}" for j in range(m)]
         coded = _pq_codes_broadcast(
-            corpus.select(id_col, vec_col), codebooks, vec_col, code_cols
+            corpus.select(id_col, *keep, vec_col), codebooks, vec_col,
+            code_cols,
         )
         return coded.select(
-            id_col, F.array(*code_cols).alias(out_col)
+            id_col, *keep, F.array(*code_cols).alias(out_col)
         )
     return corpus.select(
         id_col,
+        *keep,
         F.array(*[
             _l2_code(_sub(vec, j, dsub), codebooks[j]) for j in range(m)
         ]).alias(out_col),
@@ -1303,10 +1325,11 @@ def ivfpq_topk(
     mm = len(codebooks)
     dsub = len(codebooks[0][0])
     book_meth = _resolve_method(method, mm * len(codebooks[0]))
+    # `cell` rides through the encode projection (keep=) -- the old
+    # join-back on id executed the assign->residual chain twice and
+    # paid a full join for a column resid already had (r9, guide §2.4)
     codes = pq_encode(resid, codebooks, id_col, "__r",
-                      method=book_meth).join(
-        resid.select(id_col, "cell"), id_col
-    )
+                      method=book_meth, keep=("cell",))
     qs = _as_double(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -1415,10 +1438,10 @@ def write_ivfpq_index(
     book_meth = _resolve_method(
         method, len(codebooks) * len(codebooks[0])
     )
+    # keep= threads `cell` through the encode projection: one pass over
+    # the corpus instead of the old join-back's two (r9, guide §2.4)
     codes = pq_encode(resid, codebooks, id_col, "__r",
-                      method=book_meth).join(
-        resid.select(id_col, "cell"), id_col
-    )
+                      method=book_meth, keep=("cell",))
     (
         codes.repartition("cell")  # one writer task per cell family,
         # not n_shuffle_partitions small files inside every cell dir

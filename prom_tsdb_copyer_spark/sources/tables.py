@@ -71,12 +71,15 @@ def time_extent(df: DataFrame, ts_col: str = "ts") -> tuple[int, int]:
 #: 22M-row finest-tier write for ~8% more bytes than the default (3) --
 #: the sink is the throughput-critical leg, bytes are cheap
 ZSTD_LEVEL = "1"
-#: dictionary encoding off: tier pages are mostly-unique numerics plus
-#: moderately-repeating series strings -- building dictionaries cost
-#: ~15% of the finest-tier write wall for a 17% byte saving; zstd
-#: already exploits the string repetition. At an S3-backed 100 TB
-#: deployment flip this back on (bytes dominate there).
-PARQUET_DICT = "false"
+#: dictionary encoding ON (r9 re-measure, guide §1/§6): the r4 A/B that
+#: turned it off predates the series-first in-file sort -- over SORTED
+#: label runs the dictionary indexes long RLE runs, so the writer now
+#: encodes LESS data into the codec. Re-measured matrix on the 22M-row
+#: finest-tier leg (min of 3): zstd1+dict 7.16 s / 433 MB vs the old
+#: zstd1+nodict 8.59 s / 460 MB -- strictly better on both wall and
+#: bytes (snappy+dict is ~0.7 s faster still but +10% bytes; zstd keeps
+#: the 100 TB storage posture).
+PARQUET_DICT = "true"
 
 
 def _sort_cols(df: DataFrame, label_cols: list[str] | None = None) -> list[str]:
@@ -244,6 +247,18 @@ def write_bucketed_tier(
     out = df
     for c in series_cols:
         out = out.withColumn(c, F.coalesce(F.col(c).cast("string"), F.lit("")))
+    # cluster rows into their target bucket BEFORE the bucketed write:
+    # Spark's bucketBy writer emits one file per bucket id present in
+    # each task, so n_tasks upstream partitions x n_buckets = a small-
+    # files explosion (measured r9: 64-task agg input -> 1856 files per
+    # 32-bucket table, ~2/5 of write wall). repartition on the bucket
+    # columns with n_buckets partitions uses the SAME partitionId
+    # expression as the bucket-id assignment (pmod(murmur3(cols), n)),
+    # so each task holds exactly one bucket -> exactly n_buckets files,
+    # and the per-task sortBy sorts one bucket instead of 32 slivers.
+    # (guide §2.4/§6: one exchange replaces the fan-out; at cluster
+    # scale n_buckets is sized to the executor count anyway.)
+    out = out.repartition(n_buckets, *bucket_cols)
     w = (
         out.write.format("parquet")
         .bucketBy(n_buckets, bucket_cols[0], *bucket_cols[1:])

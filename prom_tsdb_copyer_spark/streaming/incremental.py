@@ -208,7 +208,7 @@ def streaming_cms_tier_1m(
     watermark: str = "10 minutes",
     width: int | None = None,
     depth: int | None = None,
-    hasher: str = "parity",
+    hasher: str = "fast",
 ) -> DataFrame:
     """Streaming count-min 1m tier: the stateless explode(depth) +
     slot projection runs before the watermarked aggregation, so the
@@ -279,7 +279,7 @@ def streaming_bloom_tier_1m(
     watermark: str = "10 minutes",
     m_bits: int | None = None,
     k_hashes: int | None = None,
-    hasher: str = "parity",
+    hasher: str = "fast",
 ) -> DataFrame:
     """Streaming Bloom 1m tier, completing the streaming sketch trio:
     the stateless explode(k) + bit projection runs before the

@@ -174,3 +174,42 @@ def test_binop_ieee_edge_laws(spark):
         for r in vector_binop(left, right, "%", ["g"]).collect()
     }
     assert math.isnan(mod[0]) and mod[3] == 1.0 and mod[4] is None
+
+
+def test_binop_comparison_filter_group_right_keeps_left_value(
+    spark, transcripts
+):
+    """ADVICE r8 #1: in filter-mode comparisons under group_right the
+    surviving rows carry the RIGHT (many) side's labels but the LEFT
+    operand's VALUE (Prometheus vectorElemBinop propagates the left
+    sample for non-bool comparisons). Mirror law: `totals < sums
+    group_right` must keep exactly the pairs `sums > totals group_left`
+    keeps, with the same (left-side) values attached to the same many-
+    side label sets."""
+    _, sums, cnts = _tiers(transcripts)
+    totals = (
+        cnts.groupBy("role", "bucket_ms")
+        .agg(F.sum("value").alias("value"))
+    )
+    left_keep = vector_binop(
+        sums, totals, ">", SERIES, on=["role"], group="group_left"
+    )
+    right_keep = vector_binop(
+        totals, sums, "<", SERIES, on=["role"], group="group_right"
+    )
+    key = [*SERIES, "bucket_ms"]
+    got_l = {tuple(r[c] for c in key): r["value"]
+             for r in left_keep.collect()}
+    got_r = {tuple(r[c] for c in key): r["value"]
+             for r in right_keep.collect()}
+    assert len(got_l) > 0
+    # same surviving many-side elements
+    assert set(got_l) == set(got_r)
+    # group_left keeps the left=many sums value; group_right must keep
+    # the left=one TOTALS value, not the many side's
+    tot = {(r["role"], r["bucket_ms"]): r["value"]
+           for r in totals.collect()}
+    for k, v in got_r.items():
+        role, bucket = k[1], k[3]
+        assert v == tot[(role, bucket)]
+        assert v != got_l[k] or tot[(role, bucket)] == got_l[k]

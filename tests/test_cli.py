@@ -62,3 +62,18 @@ def test_cli_end_to_end(spark, transcripts, tmp_path, capsys, monkeypatch):
     assert set(r["role"] for r in back.select("role").distinct().collect()) <= {
         "user", "assistant"
     }
+
+
+def test_parse_duration_rejects_malformed():
+    """Go's time.ParseDuration errors on "2x3h"; so do we (VERDICT r8
+    nit: the findall loop used to silently read it as 3h)."""
+    import pytest
+
+    from prom_tsdb_copyer_spark.cli import parse_duration_ms
+
+    for bad in ("2x3h", "h", "3h2", "1.5h", " 2h", "2h "):
+        with pytest.raises(ValueError):
+            parse_duration_ms(bad)
+    assert parse_duration_ms("2h30m") == 9_000_000
+    assert parse_duration_ms("500ms") == 500
+    assert parse_duration_ms("0") == 0

@@ -137,3 +137,18 @@ def test_label_replace_and_join_vs_duckdb(spark, transcripts,
         label_replace(transcripts, "env", "$1", "tool", "(unclosed")
     with pytest.raises(ValueError):
         label_join(transcripts, "bad name", "/", ["role"])
+
+
+def test_label_replace_out_of_range_group_expands_empty(spark):
+    """ADVICE r8 #5: a $N beyond the pattern's group count expands to
+    "" (Go regexp.Expand), instead of failing inside regexp_extract."""
+    from prom_tsdb_copyer_spark.operators.relabel import label_replace
+
+    df = spark.createDataFrame([("abc",)], "src string")
+    out = label_replace(df, "dst", "$2-x$1", "src", "(a)b.")
+    row = out.collect()[0]
+    assert row["dst"] == "-xa"
+    # template that is ONLY an out-of-range group -> expands to "" ->
+    # label removed (stored null, the "" ≡ absent convention)
+    out2 = label_replace(df, "dst", "$2", "src", "(a)b.")
+    assert out2.collect()[0]["dst"] is None

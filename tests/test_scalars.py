@@ -203,3 +203,49 @@ def test_query_range_offset_modifier(spark, transcripts, tmp_path):
         }
     assert keyed(shifted, 0) == keyed(plain, HOUR_MS)
     assert keyed(shifted, 0)
+
+
+def test_value_fn_nonfinite_edges(spark):
+    """ADVICE r8 #2/#3: ceil/floor/round/clamp on NaN/+-Inf must
+    propagate the input (Go math semantics), never the BIGINT-cast
+    artifacts (NaN->0, Inf->2^63); huge finite doubles (already
+    integers) pass through exactly."""
+    inf, nan = float("inf"), float("nan")
+    big = 2.0**63 * 4  # > int64: BIGINT ceil would corrupt it
+    xs = [nan, inf, -inf, big, -big, 2.5, None]
+    df = _vals(spark, xs)
+    for fn in ("ceil", "floor"):
+        got = _out(value_fn(df, fn))
+        assert math.isnan(got[0])
+        assert got[1] == inf and got[2] == -inf
+        assert got[3] == big and got[4] == -big
+        assert got[5] == (3.0 if fn == "ceil" else 2.0)
+        assert got[6] is None
+    got = _out(round_to_nearest(df, 2.0))
+    assert math.isnan(got[0]) and got[1] == inf and got[2] == -inf
+    assert got[3] == big and got[4] == -big  # ties/integers unscathed
+    assert got[6] is None
+    got = _out(clamp(df, 0.0, 10.0))
+    assert math.isnan(got[0])  # NOT clamped to max_val
+    assert got[1] == 10.0 and got[2] == 0.0 and got[6] is None
+    got = _out(clamp(df, min_val=0.0))
+    assert math.isnan(got[0]) and got[1] == inf and got[2] == 0.0
+
+
+def test_query_range_offset_must_align_to_grain(spark, transcripts, tmp_path):
+    """ADVICE r8 #4: a non-multiple offset would relabel fixed tier
+    buckets instead of evaluating shifted windows -- refuse."""
+    from prom_tsdb_copyer_spark.operators.query import query_range
+    from prom_tsdb_copyer_spark.plans.copy_job import (
+        CopyJob, run_and_write_rollups,
+    )
+
+    out_root = str(tmp_path / "tiers")
+    run_and_write_rollups(
+        spark, transcripts, CopyJob(tiers=("1h",)), out_root
+    )
+    with pytest.raises(ValueError, match="offset_ms"):
+        query_range(
+            spark, out_root, ["conv_id", "role", "tool"],
+            step_ms=3_600_000, offset_ms=1_234, tiers=("1h",),
+        )

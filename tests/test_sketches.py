@@ -147,7 +147,7 @@ def test_cms_vs_duckdb(spark, transcripts, transcripts_pdf):
         cms_tier,
     )
 
-    t1h = cms_tier(transcripts, SERIES, "1h", "role")
+    t1h = cms_tier(transcripts, SERIES, "1h", "role", hasher="parity")
     got_cells = {
         tuple(r[c] for c in [*SERIES, "bucket_ms", "row", "slot"]): r["cnt"]
         for r in t1h.collect()
@@ -155,7 +155,9 @@ def test_cms_vs_duckdb(spark, transcripts, transcripts_pdf):
     keys = sorted(transcripts_pdf["role"].dropna().unique())
     got_est = {
         tuple(r[c] for c in [*SERIES, "bucket_ms", "key"]): r["est"]
-        for r in cms_estimate(t1h, [*SERIES, "bucket_ms"], keys).collect()
+        for r in cms_estimate(
+            t1h, [*SERIES, "bucket_ms"], keys, hasher="parity"
+        ).collect()
     }
 
     con = duckdb.connect()
@@ -301,7 +303,7 @@ def test_bloom_vs_duckdb(spark, transcripts, transcripts_pdf):
         bloom_tier,
     )
 
-    t1h = bloom_tier(transcripts, SERIES, "1h", "role")
+    t1h = bloom_tier(transcripts, SERIES, "1h", "role", hasher="parity")
     got_bits = {
         tuple(r[c] for c in [*SERIES, "bucket_ms", "bit"])
         for r in t1h.collect()
@@ -309,7 +311,9 @@ def test_bloom_vs_duckdb(spark, transcripts, transcripts_pdf):
     keys = sorted(transcripts_pdf["role"].dropna().unique())
     got_member = {
         tuple(r[c] for c in [*SERIES, "bucket_ms", "key"]): r["member"]
-        for r in bloom_contains(t1h, [*SERIES, "bucket_ms"], keys).collect()
+        for r in bloom_contains(
+            t1h, [*SERIES, "bucket_ms"], keys, hasher="parity"
+        ).collect()
     }
 
     con = duckdb.connect()
@@ -429,7 +433,7 @@ def test_fast_hasher_preserves_sketch_laws(spark, transcripts,
     fast_cells = cells(direct)
     assert cells(merged) == fast_cells and fast_cells
     assert fast_cells != cells(
-        cms_tier(transcripts, SERIES, "1h", "role")
+        cms_tier(transcripts, SERIES, "1h", "role", hasher="parity")
     )  # genuinely a different law
     est = {
         (r["conv_id"], r["role"], r["tool"] or "<null>", r["bucket_ms"],

@@ -71,15 +71,18 @@ def time_extent(df: DataFrame, ts_col: str = "ts") -> tuple[int, int]:
 #: 22M-row finest-tier write for ~8% more bytes than the default (3) --
 #: the sink is the throughput-critical leg, bytes are cheap
 ZSTD_LEVEL = "1"
-#: dictionary encoding ON (r9 re-measure, guide §1/§6): the r4 A/B that
-#: turned it off predates the series-first in-file sort -- over SORTED
-#: label runs the dictionary indexes long RLE runs, so the writer now
-#: encodes LESS data into the codec. Re-measured matrix on the 22M-row
-#: finest-tier leg (min of 3): zstd1+dict 7.16 s / 433 MB vs the old
-#: zstd1+nodict 8.59 s / 460 MB -- strictly better on both wall and
-#: bytes (snappy+dict is ~0.7 s faster still but +10% bytes; zstd keeps
-#: the 100 TB storage posture).
-PARQUET_DICT = "true"
+#: dictionary encoding off: re-adjudicated AGAIN in r9 (guide §1).
+#: A sequential write-leg matrix suggested dict+sort had become faster
+#: (7.16 vs 8.59 s on the 1m leg), but that comparison runs variants in
+#: order, so later variants ride warmer caches; the INTERLEAVED
+#: full-cascade A/B (4 alternating reps each, one session) read
+#: dict-off 15.02-16.85 s vs dict-on 16.15-17.2 s -- dict-off by ~1 s,
+#: agreeing with the r8 3/3 interleaved result. The dictionary's write
+#: saving on sorted label runs is real but the mostly-unique numeric
+#: columns pay dict-attempt/fallback on write and mixed-page decode on
+#: the cascade's read-backs. At an S3-backed 100 TB deployment flip
+#: this on (bytes dominate there: dict measured 433 vs 460 MB).
+PARQUET_DICT = "false"
 
 
 def _sort_cols(df: DataFrame, label_cols: list[str] | None = None) -> list[str]:

@@ -193,7 +193,11 @@ def run_and_write_rollups(
     import os as _os
 
     chunks_per_part = int(_os.environ.get("TIER_CHUNKS_PER_PART", "8"))
-    n_parts = max(2 * spark.sparkContext.defaultParallelism, 8)
+    # scale-adaptive: tracks the session's parallelism (2x for straggler
+    # slack); TIER_CLUSTER_PARTS pins it for A/Bs and cluster tuning
+    n_parts = int(
+        _os.environ.get("TIER_CLUSTER_PARTS", "0")
+    ) or max(2 * spark.sparkContext.defaultParallelism, 8)
 
     def cluster_of(hint):
         if hint is None:

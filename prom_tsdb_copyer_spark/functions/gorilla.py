@@ -687,6 +687,14 @@ def encode_tier_chunks(
         f"{c} {t}" for c, t in prepared.select(*series_cols).dtypes
     )
     out_schema = f"{series_schema}, {CHUNK_SCHEMA_SUFFIX}"
+    # mapInPandas KEPT over a mapInArrow rewrite (r9, guide §1): the
+    # arrow-native wrapper (pyarrow.compute boundary mask, take-gathered
+    # labels, no pandas object strings) was built, parity-tested, and
+    # interleaved-A/B'd at 22M rows -- a wash (arrow min 9.13 s vs
+    # pandas min 8.60 s over 4 alternating reps each): what the arrow
+    # path saves on object-string conversion it repays in per-batch
+    # concat_tables/take/binary-array construction. Reverted to the
+    # known shape; the kernel itself is shared either way.
     return prepared.mapInPandas(make_batched_encode_udf(series_cols), schema=out_schema)
 
 
